@@ -1,0 +1,235 @@
+"""Device-resident preprocessing pipeline.
+
+The reference preprocesses on host into fully materialized window tensors
+(data/dataset.py:313-454; each sample an independent (W, J, *) copy - a ~25x
+memory blowup at stride 2) and feeds them through a 5-worker DataLoader.
+Here the design is TPU-native:
+
+* **Per-frame stage** (once, jitted): IK to local quaternions, per-frame
+  segment-length offsets, per-frame yaw - all window-independent, so they are
+  computed per *frame*, ~window/stride times cheaper than the reference.
+* **Frame store**: the per-frame arrays live in HBM.
+* **Per-window stage** (inside the jitted train step): gather (B, W) frame
+  indices, apply mid-frame centering + midfwd/x360 alignment, quat->cont6d,
+  target-pose FK, windowed speed features. Everything fuses into the step;
+  the input pipeline never stalls the device.
+
+A ``materialize`` helper runs the same per-window stage over all windows in
+chunks to produce reference-layout arrays (for parity tests, h5 export, and
+the offline eval path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from scrubvae_tpu.data.skeleton import Skeleton
+from scrubvae_tpu.data.windows import speed_outlier_mask, window_starts
+from scrubvae_tpu.ops import kinematics as kin
+from scrubvae_tpu.ops import quaternion as qtn
+
+__all__ = ["FrameStore", "build_frame_store", "assemble_windows", "materialize"]
+
+SPEED_PARTS = (
+    (0, 1, 2, 3, 4, 5),  # spine and head
+    (1, 6, 7, 8, 9, 10, 11),  # arms from front spine
+    (5, 12, 13, 14, 15, 16, 17),  # legs from back spine
+)
+
+# Reference-dataset normalization stats (get/data.py:58-67). Overridable per
+# dataset via FrameStore.norm_params.
+AVG_SPEED_3D_MEAN = (0.4993, 0.7112, 0.6663)
+AVG_SPEED_3D_STD = (0.4038, 0.3586, 0.4169)
+
+
+@dataclasses.dataclass
+class FrameStore:
+    """HBM-resident per-frame arrays + window start indices."""
+
+    pose: Array  # (T, J, 3) raw pose
+    local_quat: Array  # (T, J, 4) per-frame IK
+    offsets: Array  # (T, J, 3) per-frame scaled offsets
+    yaw: Array  # (T,) per-frame root yaw
+    ids: Array  # (T,) animal id per frame
+    starts: Array  # (N,) window start frames
+    window: int
+    mid_ids: Array  # (N,) id at window mid frame
+    norm_params: Dict[str, Dict[str, Array]]
+
+    @property
+    def n_windows(self) -> int:
+        return int(self.starts.shape[0])
+
+
+def build_frame_store(
+    pose: np.ndarray,
+    ids: np.ndarray,
+    skeleton: Skeleton,
+    window: int = 51,
+    stride: int = 2,
+    speed_threshold: Optional[float] = 2.25,
+    norm_params: Optional[dict] = None,
+) -> FrameStore:
+    """Per-frame preprocessing + window index build.
+
+    Mirrors the front half of reference preprocess_save_data
+    (dataset.py:313-454) with IK at frame granularity.
+    """
+    tree = skeleton.tree
+    starts = window_starts(ids, stride, window)
+    if speed_threshold is not None:
+        keep = speed_outlier_mask(pose, starts, window, speed_threshold)
+        starts = starts[keep]
+
+    pose_j = jnp.asarray(pose, dtype=jnp.float32)
+
+    @jax.jit
+    def per_frame(p):
+        local_q = kin.inv_kin(p, tree, forward_indices=[1, 0])
+        offs = kin.segment_lengths(p, tree)
+        yaw = kin.frame_yaw(p, 0, 1)
+        return local_q, offs, yaw
+
+    local_quat, offsets, yaw = per_frame(pose_j)
+
+    if norm_params is None:
+        norm_params = {
+            "avg_speed_3d": {
+                "mean": jnp.asarray(AVG_SPEED_3D_MEAN),
+                "std": jnp.asarray(AVG_SPEED_3D_STD),
+            }
+        }
+
+    starts_j = jnp.asarray(starts)
+    ids_j = jnp.asarray(np.asarray(ids, dtype=np.int32))
+    mid_ids = ids_j[starts_j + window // 2]
+    return FrameStore(
+        pose=pose_j,
+        local_quat=local_quat,
+        offsets=offsets,
+        yaw=yaw,
+        ids=ids_j,
+        starts=starts_j,
+        window=window,
+        mid_ids=mid_ids,
+        norm_params=norm_params,
+    )
+
+
+def assemble_windows(
+    store: FrameStore,
+    tree: kin.KinematicTree,
+    start_idx: Array,
+    data_keys: Sequence[str],
+    direction_process: str = "midfwd",
+) -> Dict[str, Array]:
+    """Per-window stage: gather + align + represent. Pure and jit-traceable;
+    called inside the train step with the batch's window indices.
+
+    Matches the back half of reference preprocess_save_data
+    (dataset.py:376-449): mid-frame xy centering, midfwd half-yaw rotation of
+    root quaternion and root trajectory, cont6d conversion, zero-root
+    target-pose FK, windowed speed features, mid-frame heading.
+    """
+    W = store.window
+    fidx = start_idx[:, None] + jnp.arange(W, dtype=start_idx.dtype)[None, :]
+    mid = start_idx + W // 2
+    out: Dict[str, Array] = {}
+
+    need_pose = any(k in data_keys for k in ("avg_speed_3d", "raw_pose"))
+    pose_w = jnp.take(store.pose, fidx, axis=0) if need_pose else None
+
+    yaw_mid = jnp.take(store.yaw, mid, axis=0)  # (B,)
+
+    if "heading" in data_keys:
+        out["heading"] = kin.angle2D(yaw_mid[:, None])
+
+    if "avg_speed_3d" in data_keys:
+        spd = kin.speed_parts(pose_w, SPEED_PARTS)
+        avg3 = jnp.concatenate(
+            [spd[:, :2], spd[:, 2:].mean(axis=-1, keepdims=True)], axis=-1
+        )
+        np_ = store.norm_params.get("avg_speed_3d")
+        if np_ is not None:
+            avg3 = (avg3 - np_["mean"]) / np_["std"]
+        out["avg_speed_3d"] = avg3
+
+    if "root" in data_keys or "x6d" in data_keys or "target_pose" in data_keys:
+        root = jnp.take(store.pose[:, 0, :], fidx, axis=0)  # (B, W, 3)
+        if direction_process in ("midfwd", "x360"):
+            center = jnp.take(store.pose[:, 0, :], mid, axis=0)
+            center = center.at[:, 2].set(0.0)  # only xy centering
+            root = root - center[:, None, :]
+
+        local_q = jnp.take(store.local_quat, fidx, axis=0)  # (B, W, J, 4)
+        if direction_process == "midfwd":
+            fwd_q = qtn.yaw_quat(yaw_mid)[:, None, :]  # (B, 1, 4)
+            root_q = qtn.qmul(
+                jnp.broadcast_to(fwd_q, local_q[..., 0, :].shape),
+                local_q[..., 0, :],
+            )
+            local_q = local_q.at[..., 0, :].set(root_q)
+            root = qtn.qrot(jnp.broadcast_to(fwd_q, root.shape[:-1] + (4,)), root)
+
+        x6d = qtn.quaternion_to_cont6d(local_q)
+        if "x6d" in data_keys:
+            out["x6d"] = x6d
+        if "root" in data_keys:
+            out["root"] = root
+
+        offs = jnp.take(store.offsets, fidx, axis=0)
+        if "offsets" in data_keys:
+            out["offsets"] = offs
+
+        if "target_pose" in data_keys:
+            B = x6d.shape[0]
+            J = x6d.shape[2]
+            out["target_pose"] = kin.fwd_kin_cont6d(
+                x6d.reshape(-1, J, 6),
+                tree,
+                offs.reshape(-1, J, 3),
+                root_pos=jnp.zeros((B * W, 3), dtype=x6d.dtype),
+                do_root_R=True,
+                eps=1e-8,
+            ).reshape(B, W, J, 3)
+    elif "offsets" in data_keys:
+        out["offsets"] = jnp.take(store.offsets, fidx, axis=0)
+
+    if "raw_pose" in data_keys:
+        out["raw_pose"] = pose_w
+
+    if "ids" in data_keys:
+        out["ids"] = jnp.take(store.ids, mid, axis=0)
+
+    return out
+
+
+def materialize(
+    store: FrameStore,
+    tree: kin.KinematicTree,
+    data_keys: Sequence[str],
+    direction_process: str = "midfwd",
+    chunk: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """Run the per-window stage over every window (chunked) and return
+    reference-layout numpy arrays - the materialized path used for parity
+    tests and h5 export."""
+    fn = jax.jit(
+        lambda idx: assemble_windows(
+            store, tree, idx, tuple(data_keys), direction_process
+        )
+    )
+    n = store.n_windows
+    outs: Dict[str, list] = {}
+    for lo in range(0, n, chunk):
+        idx = store.starts[lo : lo + chunk]
+        res = fn(idx)
+        for k, v in res.items():
+            outs.setdefault(k, []).append(np.asarray(v))
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}

@@ -1,0 +1,86 @@
+"""Latent extraction with npy caching
+(/root/reference/src/scrubvae/get/eval.py:8-70): encode the full dataset in
+batches, cache to latents/{split}_{epoch}.npy, report active dims.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["latents", "encode_dataset"]
+
+
+def encode_dataset(model, variables, dataset, batch_size: int = 512) -> np.ndarray:
+    """Jitted batched encoding of every sample's mu."""
+
+    @jax.jit
+    def enc(idx):
+        data = dataset.batch(idx)
+        out = model.apply(variables, data, train=False, method=model.encode)
+        return out["mu"]
+
+    n = len(dataset)
+    zs = []
+    for lo in range(0, n, batch_size):
+        idx = jnp.arange(lo, min(lo + batch_size, n))
+        zs.append(np.asarray(enc(idx)))
+    return np.concatenate(zs, axis=0)
+
+
+def latents(
+    config: dict,
+    model=None,
+    variables=None,
+    epoch: Optional[int] = None,
+    dataset=None,
+    label: str = "test",
+    overwrite: bool = False,
+    batch_size: int = 512,
+) -> np.ndarray:
+    path = Path(config["out_path"]) / "latents" / f"{label}_{epoch}.npy"
+    if path.exists() and not overwrite:
+        z = np.load(path)
+        if dataset is not None:
+            assert z.shape[0] == len(dataset)
+    else:
+        if model is None or variables is None:
+            from scrubvae_tpu import factory
+            from scrubvae_tpu.utils import checkpoint as ckpt
+
+            model, info = factory.build_model(
+                config["model"],
+                config["disentangle"],
+                n_keypts=dataset.n_keypts,
+                direction_process=config["data"].get("direction_process"),
+                arena_size=dataset.arena_size,
+                discrete_classes=dataset.discrete_classes,
+            )
+            dummy = dataset.batch(jnp.arange(2))
+            init_rng = jax.random.PRNGKey(0)
+            template = model.init(
+                {"params": init_rng, "dropout": init_rng},
+                dummy,
+                rng=init_rng,
+                train=True,
+            )
+            params, batch_stats = ckpt.load_weights(
+                config["model"]["load_model"],
+                epoch,
+                template["params"],
+                template.get("batch_stats"),
+            )
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+        z = encode_dataset(model, variables, dataset, batch_size)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.save(path, z)
+
+    nonzero = int((z.std(axis=0) > 0.1).sum())
+    print(f"Latent dims with std > 0.1 over dataset: {nonzero}")
+    return z

@@ -1,0 +1,335 @@
+"""Offline/online evaluation metrics.
+
+Parity with /root/reference/src/scrubvae/eval/metrics.py: window-downsampled
+KFold CV decodability (linear R^2, elasticnet-logistic / QDA / LDA accuracy,
+MLP R^2), the pickle-cached per-epoch harness, cluster entropy, MMD,
+Shannon entropy, Hungarian matching. sklearn runs on host (offline path);
+the MLP probe trains in JAX instead of torch-on-cuda (metrics.py:307-329).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+__all__ = [
+    "linear_rand_cv",
+    "log_class_rand_cv",
+    "qda_rand_cv",
+    "lda_rand_cv",
+    "mlp_rand_cv",
+    "train_mlp_probe",
+    "custom_cv_5folds",
+    "mmd_estimate",
+    "shannon_entropy",
+    "hungarian_match",
+    "epoch_metric",
+    "epoch_regression",
+    "epoch_cluster_entropy",
+]
+
+
+def custom_cv_5folds(i: int, ids: np.ndarray, folds: int = 5):
+    """Per-id contiguous folds (reference metrics.py:218-228)."""
+    full_ind = np.arange(len(ids), dtype=int)
+    idx = []
+    for uid in np.unique(ids):
+        id_idx = full_ind[ids == uid]
+        split = np.linspace(0, len(id_idx), folds + 1).astype(int)
+        idx.append(id_idx[split[i] : split[i + 1]])
+    idx_test = np.concatenate(idx, axis=0)
+    idx_train = full_ind[~np.isin(full_ind, idx_test)]
+    return idx_train, idx_test
+
+
+def rand_cv(func):
+    """Window-stride downsample + KFold(seed 100) wrapper
+    (reference metrics.py:231-260)."""
+
+    @functools.wraps(func)
+    def wrapper(z, y_true, window: int = 51, folds: int = 5, **kwargs):
+        from sklearn.model_selection import KFold
+
+        z = np.asarray(z)
+        y_true = np.asarray(y_true)
+        met = []
+        dz = z[::window]
+        dy = y_true[::window]
+        kf = KFold(n_splits=folds, shuffle=True, random_state=100)
+        for train_i, test_i in kf.split(dz):
+            met.append(func(dz[train_i], dy[train_i], dz[test_i], dy[test_i]))
+        return met
+
+    return wrapper
+
+
+@rand_cv
+def linear_rand_cv(z_train, y_train, z_test, y_test):
+    from sklearn.linear_model import LinearRegression
+    from sklearn.metrics import r2_score
+
+    clf = LinearRegression().fit(z_train, y_train)
+    return r2_score(y_test, clf.predict(z_test))
+
+
+@rand_cv
+def log_class_rand_cv(z_train, y_train, z_test, y_test):
+    from sklearn.linear_model import LogisticRegression
+
+    clf = LogisticRegression(
+        l1_ratio=0.5, penalty="elasticnet", solver="saga", max_iter=300
+    ).fit(z_train, y_train.ravel())
+    return (y_test.ravel() == clf.predict(z_test)).mean()
+
+
+@rand_cv
+def qda_rand_cv(z_train, y_train, z_test, y_test):
+    from sklearn.discriminant_analysis import QuadraticDiscriminantAnalysis
+
+    clf = QuadraticDiscriminantAnalysis().fit(z_train, y_train.ravel())
+    return (y_test.ravel() == clf.predict(z_test)).mean()
+
+
+@rand_cv
+def lda_rand_cv(z_train, y_train, z_test, y_test):
+    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+
+    clf = LinearDiscriminantAnalysis().fit(z_train, y_train.ravel())
+    return (y_test.ravel() == clf.predict(z_test)).mean()
+
+
+def train_mlp_probe(z, y, num_epochs: int = 200, lr: float = 1e-3, seed: int = 0):
+    """Full-batch AdamW MLP regression probe in JAX (replaces the reference's
+    torch-on-cuda train_MLP, metrics.py:307-329)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from scrubvae_tpu.models.scrubbers import MLP
+
+    z = jnp.asarray(z)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    model = MLP(y.shape[-1])
+    params = model.init(jax.random.PRNGKey(seed), z[:1])
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.sum((model.apply(p, z) - y) ** 2)
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    for _ in range(num_epochs):
+        params, opt_state = step(params, opt_state)
+
+    predict = jax.jit(lambda x: model.apply(params, x))
+    return predict
+
+
+@rand_cv
+def mlp_rand_cv(z_train, y_train, z_test, y_test):
+    from sklearn.metrics import r2_score
+
+    predict = train_mlp_probe(z_train, y_train, 200)
+    return r2_score(y_test, np.asarray(predict(np.asarray(z_test))))
+
+
+def mmd_estimate(X, Y, h=None):
+    """Unbiased MMD with squared-exponential kernel (reference
+    metrics.py:332-374; Gretton et al. 2012)."""
+    from scipy.spatial.distance import cdist, pdist
+
+    xd = pdist(X, metric="euclidean")
+    yd = pdist(Y, metric="euclidean")
+    xyd = cdist(X, Y, metric="euclidean").ravel()
+    if h is None:
+        h = np.median(np.concatenate((xd, yd, xyd))) ** 2
+    kxx = np.mean(np.exp(-(xd**2) / h))
+    kyy = np.mean(np.exp(-(yd**2) / h))
+    kxy = np.mean(np.exp(-(xyd**2) / h))
+    return kxx + kyy - 2 * kxy
+
+
+def shannon_entropy(x):
+    counts = np.unique(x, return_counts=True)[1]
+    hist = counts / counts.sum()
+    return float((hist * np.log(1 / hist)).sum())
+
+
+def hungarian_match(x1, x2):
+    """Map x1's categorical labels onto x2's via Hungarian assignment
+    (reference metrics.py:388-412)."""
+    from pandas import crosstab
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.array(crosstab(x1, x2))
+    row_ind, col_ind = linear_sum_assignment(cost, maximize=True)
+    row_k = np.unique(x1)[row_ind]
+    col_v = np.unique(x2)[col_ind]
+    idx = np.searchsorted(row_k, x1)
+    idx[idx == len(row_k)] = 0
+    mask = row_k[idx] == x1
+    return np.where(mask, col_v[idx], x1)
+
+
+# ---------------------------------------------------------------------------
+# Cached per-epoch offline harness (reference metrics.py:23-216)
+# ---------------------------------------------------------------------------
+
+
+def epoch_metric(func):
+    """Decorator: iterate saved epochs, compute a metric per epoch, cache the
+    result dict to a pickle next to the run (reference epoch_metric)."""
+
+    @functools.wraps(func)
+    def wrapper(
+        path: str,
+        method: str,
+        dataset_label: str,
+        save_load: bool = True,
+        disentangle_keys: Sequence[str] = ("avg_speed_3d", "heading"),
+        start_epoch: int = 100,
+        **kwargs,
+    ):
+        from scrubvae_tpu import factory
+        from scrubvae_tpu.params import read
+
+        config = read.config(str(Path(path) / "model_config.yaml"), make_dirs=False)
+        config["model"]["load_model"] = config["out_path"]
+
+        pickle_path = Path(config["out_path"]) / f"{method}_{dataset_label}.p"
+        if pickle_path.is_file() and save_load:
+            metrics = pickle.load(open(pickle_path, "rb"))
+            epochs_to_test = [
+                e
+                for e in factory.all_saved_epochs(path)
+                if (e not in metrics["epochs"]) and (e > start_epoch)
+            ]
+            metrics["epochs"] = np.concatenate(
+                [metrics["epochs"], epochs_to_test]
+            ).astype(int)
+        else:
+            metrics = {
+                "epochs": [
+                    e for e in factory.all_saved_epochs(path) if e > start_epoch
+                ]
+            }
+            epochs_to_test = metrics["epochs"]
+
+        if len(epochs_to_test) > 0:
+            data_keys = ["x6d", "root"] + list(disentangle_keys)
+            dataset = factory.mouse_data(
+                config["data"],
+                train_val_test=dataset_label,
+                data_keys=data_keys,
+                window=config["model"].get("window"),
+            )
+            metrics = func(
+                config=config,
+                dataset=dataset,
+                epochs_to_test=epochs_to_test,
+                metrics=metrics,
+                dataset_label=dataset_label,
+                disentangle_keys=disentangle_keys,
+                method=method,
+                **kwargs,
+            )
+
+        if save_load:
+            pickle.dump(metrics, open(pickle_path, "wb"))
+        return metrics
+
+    return wrapper
+
+
+@epoch_metric
+def epoch_regression(
+    config,
+    dataset,
+    epochs_to_test,
+    metrics,
+    method,
+    dataset_label,
+    disentangle_keys=("avg_speed_3d", "heading"),
+):
+    """Per-epoch decodability sweep (reference metrics.py:150-216)."""
+    from scrubvae_tpu.evals.latents import latents as get_latents
+
+    if len(metrics.keys()) == 1:
+        if ("log_class" in method) or ("qda" in method):
+            metrics.update({k: {"Accuracy": []} for k in disentangle_keys})
+        else:
+            metrics.update({k: {"R2": []} for k in disentangle_keys})
+
+    window = config["model"].get("window") or 51
+    for epoch in epochs_to_test:
+        z = get_latents(config, epoch=epoch, dataset=dataset, label=dataset_label)
+        for key in disentangle_keys:
+            y = np.asarray(dataset.batch(np.arange(len(dataset)))[key])
+            if method == "linear_rand_cv":
+                metrics[key]["R2"].append(linear_rand_cv(z, y, window, 5))
+            elif method == "mlp_rand_cv":
+                metrics[key]["R2"].append(mlp_rand_cv(z, y, window, 5))
+            elif method == "log_class_rand_cv":
+                metrics[key]["Accuracy"].append(
+                    log_class_rand_cv(z, y.astype(int), window, 5)
+                )
+            elif method == "qda_rand_cv":
+                metrics[key]["Accuracy"].append(
+                    qda_rand_cv(z, y.astype(int), window, 5)
+                )
+    return metrics
+
+
+@epoch_metric
+def epoch_cluster_entropy(
+    config,
+    dataset,
+    epochs_to_test,
+    metrics,
+    dataset_label,
+    comparison_clustering=None,
+    n_components=25,
+    **kwargs,
+):
+    """Cross-model GMM cluster entropy per epoch (reference
+    metrics.py:91-147)."""
+    from sklearn.mixture import GaussianMixture
+
+    from scrubvae_tpu.evals.latents import latents as get_latents
+
+    if "Entropy" not in metrics:
+        metrics["Entropy"] = []
+    k_preds0 = np.load(comparison_clustering)
+
+    for epoch in epochs_to_test:
+        z = get_latents(config, epoch=epoch, dataset=dataset, label=dataset_label)
+        k_preds1 = GaussianMixture(
+            n_components=n_components,
+            covariance_type="diag" if config["model"].get("diag") else "full",
+            max_iter=150,
+            init_params="k-means++",
+            reg_covar=1e-5,
+        ).fit_predict(z)
+        entropy = 0.0
+        for i in range(n_components):
+            sel = k_preds1 == i
+            if sel.sum() == 0:
+                continue
+            hist = (
+                np.histogram(
+                    k_preds0[sel], bins=np.arange(k_preds0.max() + 2) - 0.5
+                )[0]
+                / sel.sum()
+            )
+            entropy += np.nan_to_num(hist * np.log2(1 / np.where(hist > 0, hist, 1))).sum()
+        metrics["Entropy"].append(entropy / n_components)
+    return metrics

@@ -1,0 +1,247 @@
+"""Core NN layers for the residual conv VAE, in flax.linen (NWC layout).
+
+Shape-semantics parity with the reference blocks
+(/root/reference/src/scrubvae/model/residual.py:39-292): identical conv
+arithmetic (kernel/stride/padding/dilation and the derived latent lengths),
+BatchNorm eps 1e-4, PReLU/Tanh activations, transposed blocks with
+linear-upsample skip paths.
+
+TPU-first choices (documented deviations, not semantic ones):
+* feature-last (B, W, C) layout so the channel dim rides the 128-lane axis;
+* flatten order is (length, channel) rather than torch's (channel, length) -
+  irrelevant for from-scratch training;
+* weight init is flax default (lecun_normal) instead of torch kaiming.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+__all__ = [
+    "conv_out_len",
+    "conv_transpose_out_len",
+    "encoder_lengths",
+    "decoder_lengths",
+    "PReLU",
+    "Conv1d",
+    "ConvTranspose1d",
+    "upsample_linear_1d",
+    "CholeskyL",
+    "ResidualBlock",
+    "ResidualBlockTranspose",
+]
+
+
+def conv_out_len(l: int, kernel: int, stride: int, pad: int, dilation: int = 1) -> int:
+    return (l + 2 * pad - dilation * (kernel - 1) - 1) // stride + 1
+
+
+def conv_transpose_out_len(
+    l: int, kernel: int, stride: int, pad: int, dilation: int = 1
+) -> int:
+    return (l - 1) * stride - 2 * pad + dilation * (kernel - 1) + 1
+
+
+def encoder_lengths(
+    window: int, kernel: int, n_blocks: int, dilations: Sequence[int]
+) -> list:
+    """Sequence lengths through conv_in + residual blocks (reference
+    find_latent_dim conv math, residual.py:6-20)."""
+    lens = [conv_out_len(window, 7, 1, 3)]
+    for i in range(n_blocks):
+        d = int(dilations[i])
+        stride = 1 if d > 1 else 2
+        lens.append(conv_out_len(lens[-1], kernel, stride, kernel // 2, d))
+    return lens
+
+
+def decoder_lengths(latent_len: int, kernel: int, n_blocks: int) -> list:
+    """Lengths through transpose blocks (reference find_out_dim,
+    residual.py:23-36; undilated path)."""
+    lens = [latent_len]
+    for _ in range(n_blocks):
+        l = conv_transpose_out_len(lens[-1], kernel, 1, kernel // 2)
+        lens.append(conv_transpose_out_len(l, kernel, 2, kernel // 2))
+    return lens
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU, init 0.25 (torch nn.PReLU default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        alpha = self.param(
+            "alpha", lambda key: jnp.asarray(self.init, dtype=jnp.float32)
+        )
+        return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
+
+
+def make_activation(name: str):
+    return nn.tanh if name == "tanh" else PReLU()
+
+
+class Conv1d(nn.Module):
+    """Torch-Conv1d-equivalent 1D conv in NWC layout."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding=[(self.pad, self.pad)],
+            kernel_dilation=(self.dilation,),
+            use_bias=self.use_bias,
+        )(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """Torch-ConvTranspose1d-equivalent: out = (L-1)*s - 2p + d(k-1) + 1.
+
+    Implemented as an input-dilated conv (lhs_dilation) with padding
+    d(k-1) - p per side, which reproduces the transposed-conv length
+    arithmetic exactly.
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, x.shape[-1], self.features),
+        )
+        edge = self.dilation * (self.kernel - 1) - self.pad
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1,),
+            padding=[(edge, edge)],
+            lhs_dilation=(self.stride,),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b
+        return out
+
+
+def upsample_linear_1d(x: Array, scale: int = 2) -> Array:
+    """Linear interpolation upsample along W (torch Upsample mode='linear',
+    align_corners=False; jax.image 'linear' uses matching half-pixel
+    centers)."""
+    B, W, C = x.shape
+    return jax.image.resize(x, (B, W * scale, C), method="linear")
+
+
+class CholeskyL(nn.Module):
+    """Map a flat vector onto a lower-triangular Cholesky factor with a
+    softplus-positive diagonal (reference CholeskyL, residual.py:39-68)."""
+
+    z_dim: int
+    is_diag: bool
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        D = self.z_dim
+        B = x.shape[0]
+        if self.is_diag:
+            diag = jax.nn.softplus(x)
+            L = jnp.zeros((B, D, D), dtype=x.dtype)
+            return L.at[:, jnp.arange(D), jnp.arange(D)].set(diag)
+        idx = jnp.tril_indices(D)
+        L = jnp.zeros((B, D, D), dtype=x.dtype)
+        L = L.at[:, idx[0], idx[1]].set(x)
+        ar = jnp.arange(D)
+        return L.at[:, ar, ar].set(jax.nn.softplus(L[:, ar, ar]))
+
+
+class ResidualBlock(nn.Module):
+    """Strided (or dilated) residual downsampling block
+    (reference residual.py:71-119)."""
+
+    features: int
+    kernel: int = 3
+    activation: str = "prelu"
+    dilation: int = 1
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        stride = 1 if self.dilation > 1 else 2
+        k, p = self.kernel, self.kernel // 2
+        act1 = make_activation(self.activation)
+        act2 = make_activation(self.activation)
+
+        h = Conv1d(self.features // 2, k, stride, p, self.dilation)(x)
+        h = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+        )(h)
+        h = act1(h)
+        h = Conv1d(self.features, k, 1, p, 1)(h)
+
+        skip = Conv1d(self.features, k, stride, p, self.dilation)(x)
+
+        out = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+        )(h + skip)
+        return act2(out)
+
+
+class ResidualBlockTranspose(nn.Module):
+    """Transposed residual upsampling block with linear-upsample skip
+    (reference residual.py:122-180)."""
+
+    features: int
+    kernel: int = 3
+    activation: str = "prelu"
+    dilation: int = 1
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        if self.dilation > 1:
+            raise NotImplementedError(
+                "dilated transpose blocks have inconsistent lengths in the "
+                "reference design (residual.py:136-170) and are not supported"
+            )
+        k, p = self.kernel, self.kernel // 2
+        in_ch = x.shape[-1]
+        act1 = make_activation(self.activation)
+        act2 = make_activation(self.activation)
+
+        h = ConvTranspose1d(in_ch // 2, k, 1, p)(x)
+        h = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+        )(h)
+        h = act1(h)
+        h = ConvTranspose1d(self.features, k, 2, p)(h)
+
+        skip = upsample_linear_1d(x, 2)
+        skip = Conv1d(self.features, k + 1, 1, p)(skip)
+
+        out = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+        )(h + skip)
+        return act2(out)

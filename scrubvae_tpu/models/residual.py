@@ -1,0 +1,238 @@
+"""Residual convolutional VAE (flagship model) in flax.linen.
+
+Architecture parity with the reference ResVAE
+(/root/reference/src/scrubvae/model/residual.py:183-491): conv_in k7 ->
+residual downsampling stack -> flatten -> (mu, CholeskyL) or (alpha, beta)
+heads; decoder mirrors with transpose blocks and a final transposed conv
+whose kernel closes the length arithmetic back to the window; arena-size
+root normalization on encode/decode; conditional variables appended to z.
+
+Everything is feature-last (B, W, C); the whole forward is a single XLA
+program - no per-batch host logic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from scrubvae_tpu.models.layers import (
+    CholeskyL,
+    Conv1d,
+    ConvTranspose1d,
+    ResidualBlock,
+    ResidualBlockTranspose,
+    decoder_lengths,
+    encoder_lengths,
+    make_activation,
+)
+from scrubvae_tpu.ops.kinematics import inv_normalize_root, normalize_root
+
+__all__ = ["ResidualEncoder", "ResidualDecoder", "ResVAE"]
+
+DEFAULT_CH = (64, 128, 256, 512, 1024)
+
+
+class ResidualEncoder(nn.Module):
+    ch: Sequence[int] = DEFAULT_CH
+    kernel: int = 5
+    z_dim: int = 128
+    window: int = 51
+    activation: str = "prelu"
+    is_diag: bool = False
+    prior: str = "gaussian"
+    init_dilation: Optional[int] = None
+
+    def dilations(self):
+        n = len(self.ch) - 1
+        if self.init_dilation is None:
+            return [1] * n
+        return [self.init_dilation * 2**i for i in range(n)]
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
+        dil = self.dilations()
+        h = Conv1d(self.ch[0], 7, 1, 3)(x)
+        h = make_activation(self.activation)(h)
+        for i in range(len(self.ch) - 1):
+            h = ResidualBlock(
+                self.ch[i + 1], self.kernel, self.activation, dil[i]
+            )(h, train=train)
+        h = h.reshape(h.shape[0], -1)
+
+        if self.prior == "gaussian":
+            mu = nn.Dense(self.z_dim, name="fc_mu")(h)
+            sig_dim = (
+                self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
+            )
+            L = CholeskyL(self.z_dim, self.is_diag)(
+                nn.Dense(sig_dim, name="fc_sigma")(h)
+            )
+            return mu, L
+        elif self.prior == "beta":
+            alpha = jax.nn.softplus(nn.Dense(self.z_dim, name="fc_alpha")(h)) + 1.0
+            beta = jax.nn.softplus(nn.Dense(self.z_dim, name="fc_beta")(h)) + 1.0
+            return alpha, beta
+        raise ValueError(f"unknown prior {self.prior!r}")
+
+
+class ResidualDecoder(nn.Module):
+    out_channels: int
+    ch: Sequence[int] = DEFAULT_CH
+    kernel: int = 5
+    z_dim: int = 128
+    window: int = 51
+    activation: str = "prelu"
+    conditional_dim: int = 0
+    init_dilation: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, z: Array, train: bool = True) -> Array:
+        n_blocks = len(self.ch) - 1
+        dil = [1] * n_blocks  # see layers.ResidualBlockTranspose note
+        latent_len = encoder_lengths(self.window, self.kernel, n_blocks, dil)[-1]
+        h = nn.Dense(latent_len * self.ch[-1], name="fc_in")(z)
+        h = h.reshape(h.shape[0], latent_len, self.ch[-1])
+        for i in range(1, len(self.ch)):
+            h = ResidualBlockTranspose(
+                self.ch[-i - 1], self.kernel, self.activation, dil[-i]
+            )(h, train=train)
+        l_out = decoder_lengths(latent_len, self.kernel, n_blocks)[-1]
+        final_kernel = self.window - l_out + 7
+        h = ConvTranspose1d(self.out_channels, final_kernel, 1, 3, name="conv_out")(h)
+        return jnp.tanh(h)
+
+
+class ResVAE(nn.Module):
+    """Encoder/decoder assembly with root normalization and conditional
+    decoding. Scrubber modules live *outside* this module (explicit state in
+    the train step - see models.scrubbers), unlike the reference which mutates
+    nn.Module buffers mid-step.
+    """
+
+    in_channels: int
+    ch: Sequence[int] = DEFAULT_CH
+    kernel: int = 5
+    z_dim: int = 128
+    window: int = 51
+    activation: str = "prelu"
+    is_diag: bool = False
+    conditional_dim: int = 0
+    init_dilation: Optional[int] = None
+    prior: str = "gaussian"
+    arena_size: Optional[tuple] = None  # ((3,), (3,)) min/max rows, static
+    conditional_keys: Sequence[str] = ()
+    discrete_classes: Optional[Dict[str, int]] = None  # key -> n_classes
+
+    def setup(self):
+        self.encoder = ResidualEncoder(
+            ch=self.ch,
+            kernel=self.kernel,
+            z_dim=self.z_dim,
+            window=self.window,
+            activation=self.activation,
+            is_diag=self.is_diag,
+            prior=self.prior,
+            init_dilation=self.init_dilation,
+        )
+        self.decoder = ResidualDecoder(
+            out_channels=self.in_channels,
+            ch=self.ch,
+            kernel=self.kernel,
+            z_dim=self.z_dim,
+            window=self.window,
+            activation=self.activation,
+            conditional_dim=self.conditional_dim,
+            init_dilation=self.init_dilation,
+        )
+
+    def _arena(self, dtype):
+        return jnp.asarray(self.arena_size, dtype=dtype)
+
+    def encode(self, data: Dict[str, Array], train: bool = True) -> Dict[str, Array]:
+        x6d = data["x6d"]
+        B, W = x6d.shape[0], x6d.shape[1]
+        flat = x6d.reshape(B, W, -1)
+        if self.arena_size is not None:
+            norm_root = normalize_root(data["root"], self._arena(x6d.dtype))
+            x_in = jnp.concatenate([flat, norm_root], axis=-1)
+        else:
+            x_in = flat
+        a, b = self.encoder(x_in, train=train)
+        out: Dict[str, Array] = {}
+        if self.prior == "gaussian":
+            out["mu"], out["L"] = a, b
+        else:
+            out["alpha"], out["beta"] = a, b
+            out["mu"] = (a - 1.0 + 1e-8) / (a + b - 2.0 + 2e-8) * 2.0 - 1.0
+        return out
+
+    def build_conditionals(self, data: Dict[str, Array]) -> Optional[Array]:
+        """One-hot discrete + continuous conditionals, concatenated
+        (reference decode, residual.py:464-477)."""
+        if self.conditional_dim <= 0:
+            return None
+        parts = []
+        discrete = self.discrete_classes or {}
+        for k in self.conditional_keys:
+            v = data[k]
+            if k in discrete:
+                parts.append(
+                    jax.nn.one_hot(v.reshape(-1).astype(jnp.int32), discrete[k])
+                )
+            else:
+                parts.append(v)
+        return jnp.concatenate(parts, axis=-1)
+
+    def decode(
+        self, z: Array, data: Dict[str, Array], train: bool = True
+    ) -> Dict[str, Array]:
+        out: Dict[str, Array] = {}
+        var = self.build_conditionals(data)
+        if var is not None:
+            out["var"] = var
+            z = jnp.concatenate([z, var], axis=-1)
+        x_hat = self.decoder(z, train=train)  # (B, W, C)
+        B = z.shape[0]
+        if self.arena_size is not None:
+            x6d = x_hat[..., :-3]
+            out["root"] = inv_normalize_root(
+                x_hat[..., -3:], self._arena(x_hat.dtype)
+            ).reshape(B, self.window, 3)
+        else:
+            x6d = x_hat
+        out["x6d"] = x6d.reshape(B, self.window, -1, 6)
+        return out
+
+    def sample_z(self, mu: Array, L: Array, rng: Array) -> Array:
+        eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+        return mu + jnp.einsum("bij,bj->bi", L, eps)
+
+    def __call__(
+        self,
+        data: Dict[str, Array],
+        rng: Optional[Array] = None,
+        train: bool = True,
+    ) -> Dict[str, Array]:
+        out = self.encode(data, train=train)
+        if self.prior == "gaussian":
+            if train and rng is not None:
+                z = self.sample_z(out["mu"], out["L"], rng)
+            else:
+                z = out["mu"]
+        else:
+            # Beta prior: rsample in (0,1) scaled to (-1,1). Gamma-based
+            # reparameterized sampling (differentiable in JAX).
+            k1, k2 = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0))
+            ga = jax.random.gamma(k1, out["alpha"])
+            gb = jax.random.gamma(k2, out["beta"])
+            z = ga / (ga + gb) * 2.0 - 1.0
+            if not train:
+                z = out["mu"]
+        out["z"] = z
+        out.update(self.decode(z, data, train=train))
+        return out

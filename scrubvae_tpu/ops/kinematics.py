@@ -1,0 +1,271 @@
+"""Skeleton kinematics in pure JAX, vectorized for TPU.
+
+Semantics-parity with the reference kinematics
+(/root/reference/src/scrubvae/data/dataset.py:11-116, 134-309) but re-designed
+for XLA instead of translated:
+
+* The reference walks each kinematic chain in a Python loop of sequential
+  quaternion/matrix products (dataset.py:35-44, 97-116). Here the tree is
+  compiled once into flat ``pos_parent``/``rot_parent`` index arrays plus a
+  level (topological-depth) grouping, so FK is <= depth (4) steps of batched
+  3x3 matmuls over *all* joints at a level, and IK is fully closed-form
+  parallel over joints (the reference's cumulative product telescopes:
+  the accumulated chain rotation at joint j is exactly
+  ``qbetween(offset_dir_j, bone_dir_j)``, so locals need only one gather).
+
+* Note the reference's chain convention: the first link of every chain
+  composes its rotation directly with the *root* rotation (dataset.py:36,99
+  re-initialize R to the root's rotation per chain), while positions chain
+  from the previous joint. ``rot_parent`` / ``pos_parent`` encode exactly
+  that (they differ for chain heads like TailBase-rooted legs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from scrubvae_tpu.ops import quaternion as qtn
+
+__all__ = [
+    "KinematicTree",
+    "inv_kin",
+    "fwd_kin_cont6d",
+    "segment_lengths",
+    "speed_parts",
+    "frame_yaw",
+    "angle2D",
+    "angle_from_2D",
+    "normalize_root",
+    "inv_normalize_root",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicTree:
+    """Compiled form of a chain-list kinematic tree.
+
+    Attributes
+    ----------
+    chains: the original chain list (kept for serialization/debug).
+    offsets: (J, 3) unit offset directions from the skeleton config.
+    pos_parent: (J,) index of the position parent (previous joint in chain).
+    rot_parent: (J,) index of the rotation parent (root for chain heads).
+    levels: per-depth tuples of joint indices (root excluded).
+    """
+
+    chains: tuple
+    offsets: np.ndarray
+    pos_parent: np.ndarray
+    rot_parent: np.ndarray
+    levels: tuple
+
+    @property
+    def n_joints(self) -> int:
+        return len(self.offsets)
+
+    @staticmethod
+    def build(chains: Sequence[Sequence[int]], offsets) -> "KinematicTree":
+        offsets = np.asarray(offsets, dtype=np.float32)
+        n = len(offsets)
+        pos_parent = np.full(n, -1, dtype=np.int32)
+        rot_parent = np.full(n, -1, dtype=np.int32)
+        for chain in chains:
+            for i in range(1, len(chain)):
+                pos_parent[chain[i]] = chain[i - 1]
+                # First link of each chain composes with the root rotation
+                # (reference dataset.py:36,99), deeper links with the previous
+                # joint's accumulated rotation.
+                rot_parent[chain[i]] = 0 if i == 1 else chain[i - 1]
+        depth = np.zeros(n, dtype=np.int32)
+        for chain in chains:
+            for i in range(1, len(chain)):
+                j = chain[i]
+                depth[j] = (
+                    max(
+                        depth[pos_parent[j]],
+                        depth[rot_parent[j]] if rot_parent[j] >= 0 else 0,
+                    )
+                    + 1
+                )
+        levels = []
+        for d in range(1, int(depth.max()) + 1 if n > 1 else 1):
+            idx = np.nonzero(depth == d)[0]
+            if len(idx):
+                levels.append(tuple(int(i) for i in idx))
+        return KinematicTree(
+            chains=tuple(tuple(int(j) for j in c) for c in chains),
+            offsets=offsets,
+            pos_parent=pos_parent,
+            rot_parent=rot_parent,
+            levels=tuple(levels),
+        )
+
+
+def inv_kin(
+    pose: Array,
+    tree: KinematicTree,
+    forward_indices: Sequence[int] = (0, 1),
+) -> Array:
+    """Pose (..., J, 3) -> local joint quaternions (..., J, 4).
+
+    Matches reference ``inv_kin`` (dataset.py:11-46) minus its first-frame
+    root-identity quirk (dataset.py:33 overwrites only flat sample 0 - a bug
+    we intentionally do not replicate).
+    """
+    fwd = pose[..., forward_indices[1], :] - pose[..., forward_indices[0], :]
+    fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+    target = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], dtype=pose.dtype), fwd.shape
+    )
+    root_quat = qtn.qbetween(fwd, target)
+
+    pos_parent = jnp.asarray(tree.pos_parent)
+    offsets = jnp.asarray(tree.offsets, dtype=pose.dtype)
+
+    # Bone directions (children only; root slot is arbitrary and masked).
+    parent_pos = jnp.take(pose, jnp.maximum(pos_parent, 0), axis=-2)
+    bone = pose - parent_pos
+    bone = bone / jnp.maximum(
+        jnp.linalg.norm(bone, axis=-1, keepdims=True), 1e-12
+    )
+    g = qtn.qbetween(jnp.broadcast_to(offsets, pose.shape), bone)
+    # Global accumulated rotation per joint: chain telescoping makes it g_j;
+    # the root's is root_quat.
+    g = g.at[..., 0, :].set(root_quat)
+
+    rot_parent = jnp.asarray(np.maximum(tree.rot_parent, 0))
+    g_parent = jnp.take(g, rot_parent, axis=-2)
+    local = qtn.qmul(qtn.qinv(g_parent), g)
+    local = local.at[..., 0, :].set(root_quat)
+    return local
+
+
+def fwd_kin_cont6d(
+    cont6d: Array,
+    tree: KinematicTree,
+    offsets: Array,
+    root_pos: Array,
+    do_root_R: bool = True,
+    eps: float = 0.0,
+) -> Array:
+    """Forward kinematics from cont6d rotations.
+
+    cont6d: (..., J, 6); offsets: (J, 3) or (..., J, 3); root_pos: (..., 3).
+    Returns joint positions (..., J, 3).
+
+    Matches reference ``fwd_kin_cont6d_torch`` (dataset.py:83-116); the
+    per-chain sequential matmul loop becomes <= depth batched levels.
+    """
+    M = qtn.cont6d_to_matrix(cont6d, eps=eps)  # (..., J, 3, 3)
+    if offsets.ndim == 2:
+        offsets = jnp.broadcast_to(offsets, cont6d.shape[:-1] + (3,))
+
+    if do_root_R:
+        root_R = M[..., 0, :, :]
+    else:
+        root_R = jnp.broadcast_to(
+            jnp.eye(3, dtype=cont6d.dtype), M.shape[:-3] + (3, 3)
+        )
+    Rg = jnp.concatenate(
+        [root_R[..., None, :, :], jnp.zeros_like(M[..., 1:, :, :])], axis=-3
+    )
+    pose = jnp.concatenate(
+        [root_pos[..., None, :], jnp.zeros_like(offsets[..., 1:, :])], axis=-2
+    )
+
+    # 3x3 products are precision-sensitive and bandwidth-trivial: force full
+    # f32 accumulation regardless of the global matmul-precision default.
+    hi = jax.lax.Precision.HIGHEST
+    for level in tree.levels:
+        idx = jnp.asarray(level)
+        rp = jnp.asarray(tree.rot_parent[list(level)])
+        pp = jnp.asarray(tree.pos_parent[list(level)])
+        R_par = jnp.take(Rg, rp, axis=-3)
+        R_new = jnp.einsum(
+            "...jab,...jbc->...jac", R_par, jnp.take(M, idx, axis=-3), precision=hi
+        )
+        p_new = (
+            jnp.einsum(
+                "...jab,...jb->...ja",
+                R_new,
+                jnp.take(offsets, idx, axis=-2),
+                precision=hi,
+            )
+            + jnp.take(pose, pp, axis=-2)
+        )
+        Rg = Rg.at[..., idx, :, :].set(R_new)
+        pose = pose.at[..., idx, :].set(p_new)
+    return pose
+
+
+def segment_lengths(pose: Array, tree: KinematicTree) -> Array:
+    """Per-frame offsets scaled by observed segment lengths.
+
+    pose (..., J, 3) -> (..., J, 3); matches reference ``get_segment_len``
+    (dataset.py:279-296): offset_j * ||pose_j - pose_parent_j|| (root stays 0).
+    """
+    pos_parent = jnp.asarray(np.maximum(tree.pos_parent, 0))
+    parent_pos = jnp.take(pose, pos_parent, axis=-2)
+    seg = jnp.linalg.norm(pose - parent_pos, axis=-1, keepdims=True)
+    offsets = jnp.asarray(tree.offsets, dtype=pose.dtype)
+    mask = jnp.asarray(tree.pos_parent >= 0, dtype=pose.dtype)[..., None]
+    return offsets * seg * mask + offsets * (1.0 - mask)
+
+
+def speed_parts(pose: Array, parts: Sequence[Sequence[int]]) -> Array:
+    """Average root / per-part relative speeds over a window.
+
+    pose: (N, W, J, 3). Returns (N, len(parts)+1); column 0 is the mean root
+    displacement per frame, column i+1 the mean relative keypoint speed of
+    ``parts[i][1:]`` centered on ``parts[i][0]`` (reference
+    ``get_speed_parts``, dataset.py:134-163, including its part[0]==0 special
+    case that centers on the root only).
+    """
+    root_d = jnp.diff(pose[..., 0, :], n=1, axis=-2)
+    root_spd = jnp.sqrt(jnp.sum(root_d**2, axis=-1)).mean(axis=-1)
+    cols = [root_spd]
+    centered = pose - pose[..., 0:1, :]
+    for part in parts:
+        if part[0] == 0:
+            pose_part = centered
+        else:
+            pose_part = centered - centered[..., part[0] : part[0] + 1, :]
+        rel = jnp.diff(pose_part[..., list(part[1:]), :], n=1, axis=-3)
+        rel = jnp.sqrt(jnp.sum(rel**2, axis=-1))
+        cols.append(rel.mean(axis=(-1, -2)))
+    return jnp.stack(cols, axis=-1)
+
+
+def frame_yaw(pose: Array, root_i: int = 0, front_i: int = 1) -> Array:
+    """Yaw (radians) of the root->front segment (dataset.py:236-243)."""
+    fwd = pose[..., front_i, :] - pose[..., root_i, :]
+    fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+    return -jnp.arctan2(fwd[..., 1], fwd[..., 0])
+
+
+def angle2D(angle: Array) -> Array:
+    """Radians (..., K) -> interleaved [sin, cos] pairs (..., 2K)."""
+    out = jnp.stack([jnp.sin(angle), jnp.cos(angle)], axis=-1)
+    return out.reshape(angle.shape[:-1] + (-1,))
+
+
+def angle_from_2D(a2d: Array) -> Array:
+    pairs = a2d.reshape(a2d.shape[:-1] + (-1, 2))
+    return jnp.arctan2(pairs[..., 0], pairs[..., 1])
+
+
+def normalize_root(root: Array, arena_size: Array) -> Array:
+    """Map arena coordinates into (-1, 1) (dataset.py:119-125)."""
+    lo, hi = arena_size[0], arena_size[1]
+    return 2.0 * (root - lo) / (hi - lo) - 1.0
+
+
+def inv_normalize_root(norm_root: Array, arena_size: Array) -> Array:
+    lo, hi = arena_size[0], arena_size[1]
+    return 0.5 * (norm_root + 1.0) * (hi - lo) + lo

@@ -1,0 +1,63 @@
+"""Config schema: the reference's 4-section key set
+(/root/reference/src/scrubvae/params/param_keys.py:1-34) plus keys the
+reference reads but never declared (l2_reg, n_iter - see SURVEY.md 3.6) and
+TPU-specific additions under ``train`` (precision, mesh).
+"""
+
+PARAM_KEYS = dict(
+    data=[
+        "arena_size",
+        "batch_size",
+        "data_path",
+        "dataset",
+        "direction_process",
+        "normalize",
+        "remove_speed_outliers",
+        "stride",
+        "window",
+    ],
+    disentangle=[
+        "alpha",
+        "balance_loss",
+        "bandwidth",
+        "features",
+        "method",
+        "polynomial",
+        "var_mode",
+        # read by the reference without being in its schema (get/model.py:83,
+        # trainer.py:144) - declared here so configs can't crash on them:
+        "l2_reg",
+        "n_iter",
+    ],
+    model=[
+        "activation",
+        "channel",
+        "diag",
+        "init_dilation",
+        "kernel",
+        "load_model",
+        "prior",
+        "start_epoch",
+        "type",
+        "window",
+        "z_dim",
+        # MLP/transformer variants:
+        "hidden",
+        "n_heads",
+        "ff_size",
+        "n_layers",
+    ],
+    train=[
+        "beta_anneal",
+        "lr",
+        "num_epochs",
+        "optimizer",
+        "lr_schedule",
+        "minimal_test",
+        # TPU-native additions:
+        "precision",  # "bf16" | "f32" compute for the conv/matmul path
+        "mesh",  # e.g. {"data": -1}; None = all devices on the data axis
+        "seed",
+        "donate",  # donate state buffers in the jitted step
+    ],
+)

@@ -1,0 +1,75 @@
+"""Optimizers and schedules via optax.
+
+Parity with the reference trainer's optimizer factory
+(/root/reference/src/scrubvae/train/trainer.py:26-89): adam / adamw /
+sgd(momentum .2, nesterov), cosine-annealing-with-warm-restarts stepped at
+per-batch fractional-epoch granularity, and cyclical beta annealing for the
+KL weight.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "cyclical_beta",
+    "make_lr_schedule",
+    "make_optimizer",
+]
+
+
+def cyclical_beta(
+    epoch: int, beta_max: float = 1.0, len_cycle: int = 100, R: float = 0.5
+) -> float:
+    """Cyclical beta annealing (reference CyclicalBetaAnnealing,
+    trainer.py:26-40)."""
+    len_increasing = int(len_cycle * R)
+    remainder = (epoch - 1) % len_cycle
+    if remainder >= len_increasing:
+        return float(beta_max)
+    return float(beta_max) * remainder / len_increasing
+
+
+def make_lr_schedule(
+    lr: float, schedule: Optional[str], steps_per_epoch: int, T_0: int = 50
+):
+    """LR as a function of the global step. 'cawr' = cosine annealing with
+    warm restarts, T_0 epochs per cycle, evaluated at fractional epochs like
+    the reference's per-batch scheduler.step(epoch + i/len) (trainer.py:167).
+    """
+    if schedule is None:
+        return lr
+    if schedule == "cawr":
+
+        def sched(step):
+            e = step / steps_per_epoch
+            t_cur = jnp.mod(e, T_0)
+            return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t_cur / T_0))
+
+        return sched
+    raise ValueError(f"unknown lr_schedule {schedule!r}")
+
+
+def make_optimizer(
+    train_config: dict, steps_per_epoch: int, clip_norm: float = 1e6
+) -> optax.GradientTransformation:
+    lr = make_lr_schedule(
+        float(train_config.get("lr") or 1e-4),
+        train_config.get("lr_schedule"),
+        steps_per_epoch,
+    )
+    name = train_config.get("optimizer") or "adam"
+    if name == "adam":
+        opt = optax.adam(lr)
+    elif name == "adamw":
+        opt = optax.adamw(lr)
+    elif name == "sgd":
+        opt = optax.sgd(lr, momentum=0.2, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    # Reference clips at max_norm=1e6 (trainer.py:164) - effectively a
+    # NaN/blowup tripwire; kept for parity.
+    return optax.chain(optax.clip_by_global_norm(clip_norm), opt)

@@ -1,0 +1,227 @@
+"""Fused training / evaluation steps.
+
+One call = one XLA program: window assembly (StreamDataset path), forward,
+loss (incl. streaming-scrubber tuning), backward, optimizer update, streaming
+scrubber EMA updates, adversarial-discriminator inner loop, and MI-estimator
+refresh - the reference spreads these across ~10 host-side stages per batch
+(train_test_epoch, trainer.py:102-199).
+
+Under a device mesh the same step runs SPMD via sharding annotations on the
+batch (parallel.mesh); gradients and streaming-statistic moments become
+global automatically through pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from scrubvae_tpu.models import scrubbers as scr
+from scrubvae_tpu.train.losses import compute_batch_loss
+from scrubvae_tpu.train.state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "feature_slices"]
+
+
+def feature_slices(conditional_keys, fdims: dict) -> Dict[str, np.ndarray]:
+    """Column indices of each conditional feature inside the concatenated
+    ``var`` vector (intended semantics for the adversarial shuffle; the
+    reference shuffles a single column indexed by the feature's position in
+    disentangle_keys - see SURVEY.md 3.6)."""
+    out = {}
+    off = 0
+    for k in conditional_keys:
+        d = fdims[k]
+        out[k] = np.arange(off, off + d)
+        off += d
+    return out
+
+
+def make_train_step(
+    model,
+    tx,
+    tree,
+    *,
+    disentangle_config: dict,
+    loss_keys: Tuple[str, ...],
+    disentangle_keys: Tuple[str, ...] = (),
+    conditional_keys: Tuple[str, ...] = (),
+    feat_slices: Optional[Dict[str, np.ndarray]] = None,
+    adv_bundle: Optional[dict] = None,
+    mcmi_bandwidth: Optional[float] = None,
+    mcmi_var_mode: str = "sphere",
+    adv_fit: bool = True,
+    adv_n_iter: int = 5,
+    batch_fn: Optional[Callable[[Array], Dict[str, Array]]] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, Array], Dict[str, Array]], tuple]:
+    """Build the jitted train step.
+
+    ``batch_fn``: optional idx -> data-dict assembler (device-resident
+    pipeline); when given, the step takes window indices instead of
+    materialized batches and the gather/alignment fuses into the program.
+    """
+    methods = disentangle_config.get("method") or {}
+    use_mcmi = "mcmi" in loss_keys
+    has_adv = "adversarial_net" in methods and adv_bundle is not None
+
+    def step(state: TrainState, batch, loss_scale: Dict[str, Array]):
+        rng, r_sample, r_drop, r_adv, r_adv_fit = jax.random.split(state.rng, 5)
+        data = batch_fn(batch) if batch_fn is not None else batch
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables,
+                data,
+                rng=r_sample,
+                train=True,
+                mutable=mutable,
+                rngs={"dropout": r_drop},
+            )
+            if mutable:
+                out, updates = out
+                new_bs = updates.get("batch_stats")
+            else:
+                new_bs = None
+            bl, new_scrub = compute_batch_loss(
+                model,
+                data,
+                out,
+                loss_scale,
+                disentangle_config,
+                tree,
+                state.scrub_state,
+                adv_bundle=adv_bundle,
+                adv_states=state.adv_states,
+                mi_state=state.mi_state,
+                rng=r_adv,
+                disentangle_keys=disentangle_keys,
+                conditional_keys=conditional_keys,
+                feat_slices=feat_slices,
+            )
+            return bl["total"], (bl, out, new_bs, new_scrub)
+
+        grads, (bl, out, new_bs, new_scrub) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Streaming EMA scrubber updates (reference trainer.py:169-177),
+        # after the optimizer step, on detached mu.
+        mu_det = jax.lax.stop_gradient(out["mu"])
+        for method in ("moving_avg_lsq", "moving_avg", "qda"):
+            if method in new_scrub:
+                upd = {
+                    "moving_avg_lsq": scr.mals_update,
+                    "moving_avg": scr.ma_update,
+                    "qda": scr.qda_update,
+                }[method]
+                for k in new_scrub[method]:
+                    new_scrub[method][k] = upd(
+                        new_scrub[method][k], mu_det, data[k]
+                    )
+
+        # Adversarial discriminator inner loop (intended semantics of the
+        # reference's dead mode=="Train" branch, trainer.py:133-145).
+        new_adv = dict(state.adv_states)
+        if has_adv and adv_fit:
+            for k in new_adv:
+                r_adv_fit, sub = jax.random.split(r_adv_fit)
+                new_adv[k] = scr.adv_fit(
+                    adv_bundle["model"],
+                    adv_bundle["tx"],
+                    new_adv[k],
+                    sub,
+                    mu_det,
+                    out["var"],
+                    jnp.asarray(feat_slices[k]),
+                    n_iter=adv_n_iter,
+                )
+
+        # MI estimator refresh from a fresh encoding under the *updated*
+        # params (reference trainer.py:184-199 re-encodes after the step).
+        new_mi = state.mi_state
+        if use_mcmi:
+            enc_vars = {"params": new_params}
+            if new_bs is not None:
+                enc_vars["batch_stats"] = new_bs
+            enc = model.apply(enc_vars, data, train=False, method=model.encode)
+            new_mi = scr.mi_init(
+                jax.lax.stop_gradient(enc["mu"]),
+                out["var"],
+                bandwidth=mcmi_bandwidth,
+                var_mode=mcmi_var_mode,
+                model_L=(
+                    jax.lax.stop_gradient(enc["L"]) if "L" in enc else None
+                ),
+                valid=1.0,
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+            opt_state=new_opt,
+            scrub_state=new_scrub,
+            adv_states=new_adv,
+            mi_state=new_mi,
+            rng=rng,
+        )
+        metrics = {k: v for k, v in bl.items()}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    tree,
+    *,
+    disentangle_config: dict,
+    loss_keys: Tuple[str, ...],
+    disentangle_keys: Tuple[str, ...] = (),
+    conditional_keys: Tuple[str, ...] = (),
+    feat_slices: Optional[Dict[str, np.ndarray]] = None,
+    adv_bundle: Optional[dict] = None,
+    batch_fn: Optional[Callable[[Array], Dict[str, Array]]] = None,
+):
+    """Jitted evaluation step: forward with z = mu, losses without any state
+    mutation. Returns (metrics, mu)."""
+
+    def step(state: TrainState, batch, loss_scale):
+        data = batch_fn(batch) if batch_fn is not None else batch
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, data, rng=None, train=False)
+        bl, _ = compute_batch_loss(
+            model,
+            data,
+            out,
+            loss_scale,
+            disentangle_config,
+            tree,
+            state.scrub_state,
+            adv_bundle=adv_bundle,
+            adv_states=state.adv_states,
+            mi_state=state.mi_state,
+            rng=state.rng,
+            disentangle_keys=disentangle_keys,
+            conditional_keys=conditional_keys,
+            feat_slices=feat_slices,
+        )
+        return bl, out["mu"]
+
+    return jax.jit(step)

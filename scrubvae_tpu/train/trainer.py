@@ -1,0 +1,347 @@
+"""Training orchestration.
+
+Behavior parity with the reference train loop
+(/root/reference/src/scrubvae/train/trainer.py:322-516): beta annealing,
+per-epoch GR-ensemble re-init, auto-tuned lambda logging, weights every 5
+epochs / full state every 20, validation (losses + generative-restrictiveness
+R^2 + CV decodability) every 5 epochs from a start epoch, single metric sink.
+
+The per-batch work is one fused jitted step (train.step); the host loop only
+schedules epochs and logs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scrubvae_tpu import factory
+from scrubvae_tpu.data.dataset import StreamDataset, epoch_batches
+from scrubvae_tpu.models import scrubbers as scr
+from scrubvae_tpu.train import optim
+from scrubvae_tpu.train.losses import balance_disentangle  # noqa: F401
+from scrubvae_tpu.train.state import TrainState
+from scrubvae_tpu.train.step import feature_slices, make_eval_step, make_train_step
+from scrubvae_tpu.utils import checkpoint as ckpt
+from scrubvae_tpu.utils.logging import MetricLogger
+
+__all__ = ["Trainer", "train"]
+
+
+def _dummy_batch(dataset, info, batch_size: int = 2) -> Dict:
+    idx = jnp.arange(batch_size)
+    return jax.tree.map(lambda x: x, dataset.batch(idx))
+
+
+class Trainer:
+    def __init__(self, config: dict, datasets: dict, model, info: dict, run=None):
+        self.config = config
+        self.datasets = datasets
+        self.model = model
+        self.info = info
+        self.train_ds = datasets["train"]
+        self.val_ds = datasets.get("val")
+
+        data_cfg = config["data"]
+        self.batch_size = int(data_cfg.get("batch_size") or 256)
+        self.loss_cfg = dict(config.get("loss") or {})
+        self.dis_cfg = config["disentangle"]
+        self.train_cfg = config["train"]
+        self.out_path = config.get("out_path", "./")
+        self.seed = int(self.train_cfg.get("seed") or 0)
+        self.eval_start_epoch = int(self.train_cfg.get("eval_start_epoch") or 50)
+
+        n = len(self.train_ds)
+        self.steps_per_epoch = max(n // self.batch_size, 1)
+        self.tx = optim.make_optimizer(self.train_cfg, self.steps_per_epoch)
+
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng, scrub_rng = jax.random.split(rng, 3)
+
+        dummy = self.train_ds.batch(jnp.arange(2))
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, dummy, rng=init_rng, train=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+
+        self.scrub_state, self.adv_bundle = factory.init_scrub_state(
+            scrub_rng,
+            self.dis_cfg,
+            self.loss_cfg,
+            info["z_dim"],
+            info["feat_dims"],
+            discrete_classes=self.train_ds.discrete_classes,
+        )
+        adv_states = self.adv_bundle["states"] if self.adv_bundle else {}
+
+        self.use_mcmi = "mcmi" in self.loss_cfg
+        mi_state = None
+        if self.use_mcmi:
+            mi_state = scr.mi_init(
+                jnp.zeros((self.batch_size, info["z_dim"])),
+                jnp.zeros((self.batch_size, max(info["conditional_dim"], 1))),
+                bandwidth=float(self.dis_cfg.get("bandwidth") or 1.0),
+                var_mode=self.dis_cfg.get("var_mode") or "sphere",
+                model_L=jnp.zeros(
+                    (self.batch_size, info["z_dim"], info["z_dim"])
+                ),
+                valid=0.0,
+            )
+
+        opt_state = self.tx.init(params)
+        self.state = TrainState.create(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            scrub_state=self.scrub_state,
+            adv_states=adv_states,
+            mi_state=mi_state,
+            rng=rng,
+        )
+        self.start_epoch = int(config["model"].get("start_epoch") or 0)
+        self._maybe_restore()
+
+        self.feat_slices = feature_slices(
+            info["conditional_keys"], info["feat_dims"]
+        )
+        common = dict(
+            disentangle_config=self.dis_cfg,
+            loss_keys=tuple(self.loss_cfg.keys()),
+            disentangle_keys=tuple(info["disentangle_keys"]),
+            conditional_keys=tuple(info["conditional_keys"]),
+            feat_slices=self.feat_slices,
+            adv_bundle=self.adv_bundle,
+        )
+        tree = self.train_ds.kinematic_tree
+        self.train_step = make_train_step(
+            self.model,
+            self.tx,
+            tree,
+            mcmi_bandwidth=float(self.dis_cfg.get("bandwidth") or 1.0),
+            mcmi_var_mode=self.dis_cfg.get("var_mode") or "sphere",
+            adv_fit=bool(self.dis_cfg.get("adv_fit", True)),
+            adv_n_iter=int(self.dis_cfg.get("n_iter") or 5),
+            batch_fn=self._batch_fn(self.train_ds),
+            donate=bool(self.train_cfg.get("donate", True)),
+            **common,
+        )
+        self.eval_step = (
+            make_eval_step(
+                self.model, tree, batch_fn=self._batch_fn(self.val_ds), **common
+            )
+            if self.val_ds is not None
+            else None
+        )
+
+        self._reinit_gr = None
+        if self.model.gr_dims:
+            def reinit(rng):
+                return self.model.init(
+                    {"params": rng, "dropout": rng}, dummy, rng=rng, train=True
+                )["params"]
+
+            self._reinit_gr = jax.jit(reinit)
+
+        self.logger = MetricLogger(self.out_path, use_wandb=run is not None, wandb_run=run)
+        self.np_rng = np.random.default_rng(self.seed)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _batch_fn(self, dataset):
+        if dataset is None:
+            return None
+        return lambda idx: dataset.batch(idx)
+
+    def _maybe_restore(self):
+        load_model = self.config["model"].get("load_model")
+        if load_model and self.start_epoch:
+            params, batch_stats = ckpt.load_weights(
+                load_model,
+                self.start_epoch,
+                self.state.params,
+                self.state.batch_stats,
+            )
+            self.state = self.state.replace(params=params)
+            if batch_stats is not None:
+                self.state = self.state.replace(batch_stats=batch_stats)
+            full = ckpt.load_train_state(load_model, self.start_epoch, self.state)
+            if full is not None:
+                self.state = full
+
+    def loss_scale_for_epoch(self, epoch: int) -> Dict[str, jnp.ndarray]:
+        scale = {k: float(v) for k, v in self.loss_cfg.items()}
+        if "prior" in scale and self.train_cfg.get("beta_anneal"):
+            scale["prior"] = optim.cyclical_beta(
+                epoch, beta_max=float(self.loss_cfg["prior"])
+            )
+        return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in scale.items()}
+
+    # -- epochs -----------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        loss_scale = self.loss_scale_for_epoch(epoch)
+        sums: Dict[str, float] = {}
+        count = 0
+        for idx in epoch_batches(len(self.train_ds), self.batch_size, self.np_rng):
+            self.state, metrics = self.train_step(
+                self.state, jnp.asarray(idx), loss_scale
+            )
+            count += 1
+            if count == 1 or count % 50 == 0:
+                # Pull metrics sparsely to avoid host sync every step
+                last = {k: float(v) for k, v in metrics.items()}
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + v
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
+
+    def test_epoch(self, epoch: int):
+        from scrubvae_tpu.evals.restrictiveness import generative_restrictiveness_batch
+
+        loss_scale = self.loss_scale_for_epoch(epoch)
+        sums: Dict[str, float] = {}
+        count = 0
+        zs = []
+        gen_res = {
+            k: {"pred": [], "target": []}
+            for k in self.info["disentangle_keys"]
+            if k != "ids" and k in ("heading", "avg_speed_3d")
+        }
+        rng = jax.random.PRNGKey(1000 + epoch)
+        for idx in epoch_batches(len(self.val_ds), self.batch_size, None):
+            bl, mu = self.eval_step(self.state, jnp.asarray(idx), loss_scale)
+            zs.append(np.asarray(mu))
+            for k, v in bl.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            data = self.val_ds.batch(jnp.asarray(idx))
+            for key in gen_res:
+                rng, sub = jax.random.split(rng)
+                pred, target = generative_restrictiveness_batch(
+                    self.model,
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                    mu,
+                    data,
+                    key,
+                    self.val_ds.kinematic_tree,
+                    sub,
+                    norm_params=self.val_ds.norm_params,
+                )
+                gen_res[key]["pred"].append(np.asarray(pred))
+                gen_res[key]["target"].append(np.asarray(target))
+
+        metrics = {k: v / max(count, 1) for k, v in sums.items()}
+        for key, d in gen_res.items():
+            pred = np.concatenate(d["pred"], axis=0)
+            target = np.concatenate(d["target"], axis=0)
+            ss_res = ((target - pred) ** 2).sum()
+            ss_tot = ((target - target.mean(axis=0)) ** 2).sum()
+            metrics[f"r2_gen_restrict_{key}"] = float(1.0 - ss_res / ss_tot)
+        return metrics, np.concatenate(zs, axis=0) if zs else np.zeros((0,))
+
+    def decodability_metrics(self, z_val: np.ndarray) -> Dict[str, float]:
+        from scrubvae_tpu.evals import metrics as em
+
+        out = {}
+        window = self.info["window"]
+        dataset_name = self.config["data"].get("dataset")
+        if self.train_cfg.get("minimal_test"):
+            return out
+        if dataset_name == "parkinsons":
+            keys = ["ids", "pd_label"]
+            for key in keys:
+                y = np.asarray(self.val_ds.batch(jnp.arange(len(self.val_ds)))[key])
+                acc_log = em.log_class_rand_cv(z_val, y.astype(int), window, 5)
+                acc_qda = em.qda_rand_cv(z_val, y.astype(int), window, 5)
+                out[f"acc_{key}_log_mean"] = float(np.mean(acc_log))
+                out[f"acc_{key}_log_std"] = float(np.std(acc_log))
+                out[f"acc_{key}_qda_mean"] = float(np.mean(acc_qda))
+                out[f"acc_{key}_qda_std"] = float(np.std(acc_qda))
+        else:
+            full = self.val_ds.batch(jnp.arange(len(self.val_ds)))
+            for key in ("avg_speed_3d", "heading"):
+                if key not in full:
+                    continue
+                y = np.asarray(full[key])
+                r2_lin = em.linear_rand_cv(z_val, y, window, 5)
+                r2_mlp = em.mlp_rand_cv(z_val, y, window, 5)
+                out[f"r2_{key}_lin_mean"] = float(np.mean(r2_lin))
+                out[f"r2_{key}_lin_std"] = float(np.std(r2_lin))
+                out[f"r2_{key}_mlp_mean"] = float(np.mean(r2_mlp))
+                out[f"r2_{key}_mlp_std"] = float(np.std(r2_mlp))
+            y = np.asarray(full["ids"]).astype(int)
+            acc_log = em.log_class_rand_cv(z_val, y, window, 5)
+            acc_qda = em.qda_rand_cv(z_val, y, window, 5)
+            out["acc_ids_log_mean"] = float(np.mean(acc_log))
+            out["acc_ids_log_std"] = float(np.std(acc_log))
+            out["acc_ids_qda_mean"] = float(np.mean(acc_qda))
+            out["acc_ids_qda_std"] = float(np.std(acc_qda))
+        return out
+
+    def reset_gr(self, epoch: int):
+        """Per-epoch re-init of the gradient-reversal ensembles (reference
+        trainer.py:368-370)."""
+        if self._reinit_gr is None:
+            return
+        fresh = self._reinit_gr(jax.random.PRNGKey(self.seed * 100003 + epoch))
+        params = dict(self.state.params)
+        for name in params:
+            if name.startswith("gr_"):
+                params[name] = fresh[name]
+        self.state = self.state.replace(params=params)
+
+    def lambda_metrics(self) -> Dict[str, float]:
+        out = {}
+        ss = self.state.scrub_state
+        if "moving_avg_lsq" in ss:
+            for k, st in ss["moving_avg_lsq"].items():
+                out[f"lambda_mals_{k}"] = float(st.lam1)
+        if "qda" in ss:
+            for k, st in ss["qda"].items():
+                out[f"lambda_qda_{k}"] = float(np.asarray(st.lama).mean())
+        return out
+
+    def fit(self, num_epochs: Optional[int] = None):
+        num_epochs = num_epochs or int(self.train_cfg.get("num_epochs") or 1)
+        for epoch in range(self.start_epoch + 1, num_epochs + 1):
+            t0 = time.time()
+            train_metrics = self.train_epoch(epoch)
+            metrics = {f"{k}_train": v for k, v in train_metrics.items()}
+            self.reset_gr(epoch)
+            metrics.update(self.lambda_metrics())
+            metrics["time"] = time.time() - t0
+
+            if epoch % 5 == 0:
+                ckpt.save_weights(
+                    self.out_path, epoch, self.state.params, self.state.batch_stats
+                )
+                if epoch % 20 == 0:
+                    ckpt.save_train_state(self.out_path, epoch, self.state)
+                if epoch >= self.eval_start_epoch and self.eval_step is not None:
+                    test_metrics, z_val = self.test_epoch(epoch)
+                    metrics.update({f"{k}_test": v for k, v in test_metrics.items()})
+                    metrics.update(self.decodability_metrics(z_val))
+
+            self.logger.log(metrics, epoch)
+        return self.state
+
+
+def train(config: dict, datasets=None, model=None, info=None, run=None):
+    """Reference-parity entry: scrubvae.train.train(config, model, loaders).
+    Builds datasets/model from config when not supplied."""
+    if datasets is None or model is None:
+        datasets, model, info = factory.data_and_model(
+            config,
+            train_val_test=("train", "val"),
+            data_keys=tuple(
+                ["x6d", "root", "offsets", "target_pose"]
+                + list(config["disentangle"].get("features") or [])
+            ),
+        )
+    trainer = Trainer(config, datasets, model, info, run=run)
+    trainer.fit()
+    return trainer

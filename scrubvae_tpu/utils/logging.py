@@ -1,0 +1,56 @@
+"""Metric sinks: CSV always; wandb when available and enabled.
+
+The reference logs exclusively to wandb (trainer.py:514); a CSV sink keeps
+the framework hermetic (no network) while preserving the same flat
+metric-name schema (*_train / *_test / r2_* / acc_* / lambda_* / time).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Dict, Optional
+
+__all__ = ["MetricLogger"]
+
+
+class MetricLogger:
+    def __init__(self, out_path: str, use_wandb: bool = False, wandb_run=None):
+        self.path = Path(out_path) / "metrics.csv"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fieldnames = None
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb_run or wandb
+            except ImportError:
+                self._wandb = None
+        self.history: Dict[str, list] = {}
+
+    def log(self, metrics: Dict[str, float], epoch: Optional[int] = None):
+        row = {"epoch": epoch, **{k: _scalar(v) for k, v in metrics.items()}}
+        for k, v in row.items():
+            self.history.setdefault(k, []).append(v)
+        write_header = not self.path.exists() or self._fieldnames is None
+        if self._fieldnames is None:
+            self._fieldnames = list(row.keys())
+        extra = [k for k in row if k not in self._fieldnames]
+        if extra:
+            self._fieldnames += extra
+            write_header = True
+        with open(self.path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=epoch)
+
+
+def _scalar(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)

@@ -1,0 +1,373 @@
+"""Unit tests for the math core: quaternions, rotations, kinematics, losses.
+
+Strategy (SURVEY.md section 4): closed-form identities, round-trips, and
+independent re-derivations (naive per-chain numpy loops mirroring the
+reference's algorithm structure) compared against the vectorized JAX ops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scrubvae_tpu.data.skeleton import load_skeleton
+from scrubvae_tpu.ops import kinematics as kin
+from scrubvae_tpu.ops import losses
+from scrubvae_tpu.ops import quaternion as qtn
+from scrubvae_tpu.ops import rotation as rot
+
+SKEL = load_skeleton("configs/mouse_skeleton.yaml")
+
+
+def rand_quats(key, shape):
+    q = jax.random.normal(key, shape + (4,))
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+class TestQuaternion:
+    def test_qmul_identity_and_inverse(self):
+        key = jax.random.PRNGKey(0)
+        q = rand_quats(key, (32,))
+        ident = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (32, 1))
+        np.testing.assert_allclose(qtn.qmul(q, ident), q, atol=1e-6)
+        np.testing.assert_allclose(qtn.qmul(ident, q), q, atol=1e-6)
+        np.testing.assert_allclose(
+            qtn.qmul(q, qtn.qinv(q)), ident, atol=1e-5
+        )
+
+    def test_qrot_matches_matrix(self):
+        key = jax.random.PRNGKey(1)
+        q = rand_quats(key, (16,))
+        v = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+        R = qtn.quaternion_to_matrix(q)
+        np.testing.assert_allclose(
+            qtn.qrot(q, v), jnp.einsum("bij,bj->bi", R, v), atol=1e-5
+        )
+
+    def test_qmul_composes_like_matrices(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        q1, q2 = rand_quats(k1, (8,)), rand_quats(k2, (8,))
+        R = qtn.quaternion_to_matrix(qtn.qmul(q1, q2))
+        R12 = qtn.quaternion_to_matrix(q1) @ qtn.quaternion_to_matrix(q2)
+        np.testing.assert_allclose(R, R12, atol=1e-5)
+
+    def test_qbetween(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+        v0 = jax.random.normal(k1, (64, 3))
+        v1 = jax.random.normal(k2, (64, 3))
+        q = qtn.qbetween(v0, v1)
+        v0n = v0 / jnp.linalg.norm(v0, axis=-1, keepdims=True)
+        v1n = v1 / jnp.linalg.norm(v1, axis=-1, keepdims=True)
+        np.testing.assert_allclose(qtn.qrot(q, v0n), v1n, atol=1e-5)
+
+    def test_cont6d_roundtrip(self):
+        q = rand_quats(jax.random.PRNGKey(5), (32,))
+        R = qtn.quaternion_to_matrix(q)
+        c6d = qtn.quaternion_to_cont6d(q)
+        np.testing.assert_allclose(qtn.cont6d_to_matrix(c6d), R, atol=1e-5)
+
+    def test_qfix_continuity(self):
+        q = rand_quats(jax.random.PRNGKey(6), (50, 3))
+        # Inject random sign flips along time
+        signs = jnp.where(
+            jax.random.bernoulli(jax.random.PRNGKey(7), 0.5, (50, 1, 1)), -1.0, 1.0
+        )
+        fixed = qtn.qfix(q * signs)
+        dots = jnp.sum(fixed[1:] * fixed[:-1], axis=-1)
+        assert (dots >= 0).all()
+
+    def test_euler_roundtrip(self):
+        e = jax.random.uniform(
+            jax.random.PRNGKey(8), (32, 3), minval=-1.0, maxval=1.0
+        )
+        q = qtn.euler_to_quaternion(e, "zyx", deg=False)
+        e2 = qtn.qeuler(q, "zyx", deg=False)
+        # qeuler returns angles as fixed (x, y, z) columns; re-composing with
+        # the same order must reproduce the rotation.
+        q2 = qtn.euler_to_quaternion(e2, "zyx", deg=False)
+        np.testing.assert_allclose(
+            qtn.quaternion_to_matrix(q), qtn.quaternion_to_matrix(q2), atol=1e-4
+        )
+
+    def test_qslerp_endpoints(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        q0, q1 = rand_quats(k1, (4,)), rand_quats(k2, (4,))
+        out = qtn.qslerp(q0, q1, jnp.asarray([0.0, 1.0]))
+        R_out = qtn.quaternion_to_matrix(out)
+        np.testing.assert_allclose(
+            R_out[0], qtn.quaternion_to_matrix(q0), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            R_out[1], qtn.quaternion_to_matrix(q1), atol=1e-4
+        )
+
+    def test_expmap(self):
+        e = jax.random.normal(jax.random.PRNGKey(10), (16, 3)) * 0.5
+        q = qtn.expmap_to_quaternion(e)
+        q2 = rot.axis_angle_to_quaternion(e)
+        np.testing.assert_allclose(q, q2, atol=1e-5)
+
+
+class TestRotationConversions:
+    def test_matrix_quaternion_roundtrip(self):
+        R = rot.random_rotations(jax.random.PRNGKey(11), 64)
+        q = rot.matrix_to_quaternion(R)
+        np.testing.assert_allclose(rot.quaternion_to_matrix(q), R, atol=1e-5)
+
+    def test_rotation_6d_roundtrip(self):
+        R = rot.random_rotations(jax.random.PRNGKey(12), 64)
+        d6 = rot.matrix_to_rotation_6d(R)
+        np.testing.assert_allclose(rot.rotation_6d_to_matrix(d6), R, atol=1e-5)
+
+    def test_axis_angle_roundtrip(self):
+        aa = jax.random.normal(jax.random.PRNGKey(13), (32, 3))
+        R = rot.axis_angle_to_matrix(aa)
+        aa2 = rot.matrix_to_axis_angle(R)
+        np.testing.assert_allclose(
+            rot.axis_angle_to_matrix(aa2), R, atol=1e-4
+        )
+
+    def test_euler_matrix_roundtrip(self):
+        e = jax.random.uniform(
+            jax.random.PRNGKey(14), (32, 3), minval=-1.0, maxval=1.0
+        )
+        for conv in ["XYZ", "ZYX", "XZY"]:
+            R = rot.euler_angles_to_matrix(e, conv)
+            e2 = rot.matrix_to_euler_angles(R, conv)
+            np.testing.assert_allclose(
+                rot.euler_angles_to_matrix(e2, conv), R, atol=1e-4
+            )
+
+    def test_6d_matches_torch_convention(self):
+        torch = pytest.importorskip("torch")
+        d6 = np.random.default_rng(0).normal(size=(32, 6)).astype(np.float32)
+        ours = np.asarray(rot.rotation_6d_to_matrix(jnp.asarray(d6)))
+        # Independent torch implementation of Zhou et al. row Gram-Schmidt
+        t = torch.from_numpy(d6)
+        a1, a2 = t[..., :3], t[..., 3:]
+        b1 = torch.nn.functional.normalize(a1, dim=-1)
+        b2 = torch.nn.functional.normalize(
+            a2 - (b1 * a2).sum(-1, keepdim=True) * b1, dim=-1
+        )
+        b3 = torch.cross(b1, b2, dim=-1)
+        theirs = torch.stack([b1, b2, b3], dim=-2).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def _naive_fk(cont6d, chains, offsets, root_pos, do_root_R=True, eps=0.0):
+    """Independent numpy re-derivation of per-chain FK (reference algorithm
+    structure: sequential matmuls along each chain)."""
+    c6d_to_m = lambda c: np.asarray(qtn.cont6d_to_matrix(jnp.asarray(c), eps=eps))
+    B, J = cont6d.shape[0], cont6d.shape[1]
+    pose = np.zeros((B, J, 3))
+    pose[:, 0] = root_pos
+    for chain in chains:
+        if do_root_R:
+            matR = c6d_to_m(cont6d[:, 0])
+        else:
+            matR = np.tile(np.eye(3), (B, 1, 1))
+        for i in range(1, len(chain)):
+            matR = matR @ c6d_to_m(cont6d[:, chain[i]])
+            off = offsets[:, chain[i]][..., None]
+            pose[:, chain[i]] = (matR @ off).squeeze(-1) + pose[:, chain[i - 1]]
+    return pose
+
+
+def _rand_pose(key, batch=6):
+    """Random plausible mouse pose: template FK'd from random rotations."""
+    J = SKEL.n_keypts
+    q = rand_quats(key, (batch, J))
+    c6d = qtn.quaternion_to_cont6d(q)
+    lengths = (
+        jax.random.uniform(jax.random.PRNGKey(99), (batch, J, 1)) * 0.5 + 0.5
+    )
+    offsets = jnp.asarray(SKEL.offsets) * lengths
+    root = jax.random.normal(jax.random.PRNGKey(98), (batch, 3))
+    return kin.fwd_kin_cont6d(c6d, SKEL.tree, offsets, root)
+
+
+class TestKinematics:
+    def test_fk_matches_naive_chain_loop(self):
+        key = jax.random.PRNGKey(20)
+        B, J = 5, SKEL.n_keypts
+        q = rand_quats(key, (B, J))
+        c6d = qtn.quaternion_to_cont6d(q)
+        offsets = np.random.default_rng(1).uniform(0.5, 1.5, (B, J, 1)).astype(
+            np.float32
+        ) * SKEL.offsets
+        root = np.random.default_rng(2).normal(size=(B, 3)).astype(np.float32)
+        ours = kin.fwd_kin_cont6d(
+            c6d, SKEL.tree, jnp.asarray(offsets), jnp.asarray(root)
+        )
+        naive = _naive_fk(
+            np.asarray(c6d), SKEL.kinematic_tree, offsets, root
+        )
+        np.testing.assert_allclose(np.asarray(ours), naive, atol=1e-4)
+
+    def test_fk_no_root_rotation(self):
+        key = jax.random.PRNGKey(21)
+        B, J = 3, SKEL.n_keypts
+        c6d = qtn.quaternion_to_cont6d(rand_quats(key, (B, J)))
+        offsets = jnp.asarray(SKEL.offsets)
+        root = jnp.zeros((B, 3))
+        ours = kin.fwd_kin_cont6d(c6d, SKEL.tree, offsets, root, do_root_R=False)
+        naive = _naive_fk(
+            np.asarray(c6d),
+            SKEL.kinematic_tree,
+            np.tile(SKEL.offsets, (B, 1, 1)),
+            np.zeros((B, 3)),
+            do_root_R=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours), naive, atol=1e-4)
+
+    def test_ik_fk_roundtrip(self):
+        pose = _rand_pose(jax.random.PRNGKey(22))
+        local_q = kin.inv_kin(pose, SKEL.tree, forward_indices=[1, 0])
+        c6d = qtn.quaternion_to_cont6d(local_q)
+        offsets = kin.segment_lengths(pose, SKEL.tree)
+        recon = kin.fwd_kin_cont6d(
+            c6d, SKEL.tree, offsets, root_pos=pose[..., 0, :]
+        )
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(pose), atol=1e-3)
+
+    def test_ik_root_faces_target(self):
+        pose = _rand_pose(jax.random.PRNGKey(23))
+        local_q = kin.inv_kin(pose, SKEL.tree, forward_indices=[1, 0])
+        fwd = pose[..., 0, :] - pose[..., 1, :]
+        fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+        rotated = qtn.qrot(local_q[..., 0, :], fwd)
+        target = jnp.zeros_like(rotated).at[..., 0].set(1.0)
+        np.testing.assert_allclose(np.asarray(rotated), np.asarray(target), atol=1e-4)
+
+    def test_segment_lengths(self):
+        pose = _rand_pose(jax.random.PRNGKey(24))
+        offs = kin.segment_lengths(pose, SKEL.tree)
+        # Scaled offsets have norm equal to observed bone length.
+        pp = SKEL.tree.pos_parent
+        for j in range(1, SKEL.n_keypts):
+            bone = np.linalg.norm(
+                np.asarray(pose[..., j, :] - pose[..., pp[j], :]), axis=-1
+            )
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(offs[..., j, :]), axis=-1),
+                bone,
+                atol=1e-4,
+            )
+
+    def test_speed_parts_matches_naive(self):
+        pose = np.random.default_rng(3).normal(size=(7, 10, 18, 3)).astype(
+            np.float32
+        )
+        parts = [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10, 11], [5, 12, 13, 14, 15, 16, 17]]
+        ours = np.asarray(kin.speed_parts(jnp.asarray(pose), parts))
+        # Naive per reference get_speed_parts (dataset.py:134-163)
+        root_spd = np.diff(pose[..., 0, :], axis=-2) ** 2
+        root_spd = np.sqrt(root_spd.sum(-1)).mean(-1)
+        naive = np.zeros((7, 4))
+        naive[:, 0] = root_spd
+        centered = pose - pose[..., 0:1, :]
+        for i, part in enumerate(parts):
+            pp = centered if part[0] == 0 else centered - centered[:, :, part[0] : part[0] + 1, :]
+            rel = (np.diff(pp[..., part[1:], :], axis=-3) ** 2).sum(-1)
+            naive[:, i + 1] = np.sqrt(rel).mean(axis=(-1, -2))
+        np.testing.assert_allclose(ours, naive, atol=1e-5)
+
+    def test_frame_yaw_and_angle2d(self):
+        pose = _rand_pose(jax.random.PRNGKey(25))[:, :, :]
+        yaw = kin.frame_yaw(pose)
+        a2d = kin.angle2D(yaw[..., None])
+        back = kin.angle_from_2D(a2d)[..., 0]
+        np.testing.assert_allclose(np.asarray(back), np.asarray(yaw), atol=1e-5)
+
+    def test_root_normalize_roundtrip(self):
+        arena = jnp.asarray([[-300.0, -300.0, 0.0], [300.0, 300.0, 100.0]])
+        root = jax.random.uniform(jax.random.PRNGKey(26), (10, 3)) * 100
+        n = kin.normalize_root(root, arena)
+        back = kin.inv_normalize_root(n, arena)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(root), atol=1e-4)
+
+
+class TestLosses:
+    def test_stable_rotation_loss_zero_at_identity(self):
+        d6 = jax.random.normal(jax.random.PRNGKey(30), (4, 8, 6))
+        assert float(losses.stable_rotation_loss(d6, d6)) < 1e-3
+
+    def test_rotation_losses_agree_small_angles(self):
+        R = rot.random_rotations(jax.random.PRNGKey(31), 16)
+        d6 = rot.matrix_to_rotation_6d(R)
+        # Perturb slightly
+        d6_hat = d6 + 0.01 * jax.random.normal(jax.random.PRNGKey(32), d6.shape)
+        a = float(losses.rotation_loss(d6.reshape(16, 1, 6), d6_hat.reshape(16, 1, 6)))
+        b = float(
+            losses.stable_rotation_loss(
+                d6.reshape(16, 1, 6), d6_hat.reshape(16, 1, 6)
+            )
+        ) / 16.0
+        assert abs(a - b) / max(a, 1e-9) < 0.05
+
+    def test_prior_loss_diag_closed_form(self):
+        B, D = 8, 5
+        mu = jax.random.normal(jax.random.PRNGKey(33), (B, D))
+        sig = jax.random.uniform(jax.random.PRNGKey(34), (B, D)) + 0.5
+        L = jnp.zeros((B, D, D)).at[:, jnp.arange(D), jnp.arange(D)].set(sig)
+        ours = float(losses.prior_loss(mu, L))
+        expected = float(
+            jnp.sum(-0.5 * (1 + 2 * jnp.log(sig) - mu**2 - sig**2)) / B
+        )
+        assert abs(ours - expected) < 1e-4
+
+    def test_prior_loss_zero_at_standard_normal(self):
+        B, D = 4, 6
+        mu = jnp.zeros((B, D))
+        L = jnp.tile(jnp.eye(D), (B, 1, 1))
+        assert abs(float(losses.prior_loss(mu, L))) < 1e-5
+
+    def test_beta_prior_loss_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        a = np.random.default_rng(4).uniform(1.1, 3.0, (6, 4)).astype(np.float32)
+        b = np.random.default_rng(5).uniform(1.1, 3.0, (6, 4)).astype(np.float32)
+        ours = float(losses.beta_prior_loss(jnp.asarray(a), jnp.asarray(b)))
+        p = torch.distributions.Beta(torch.ones_like(torch.tensor(a)), torch.ones_like(torch.tensor(b)))
+        q = torch.distributions.Beta(torch.tensor(a), torch.tensor(b))
+        theirs = float(torch.distributions.kl_divergence(q, p).sum(-1).sum() / 6)
+        assert abs(ours - theirs) < 1e-3
+
+    def test_mpjpe_zero_for_exact_pose(self):
+        pose = _rand_pose(jax.random.PRNGKey(35))[:, None]  # (B, 1, J, 3)
+        local_q = kin.inv_kin(pose[:, 0], SKEL.tree, forward_indices=[1, 0])
+        c6d = qtn.quaternion_to_cont6d(local_q)[:, None]
+        offsets = kin.segment_lengths(pose[:, 0], SKEL.tree)[:, None]
+        target = kin.fwd_kin_cont6d(
+            c6d[:, 0], SKEL.tree, offsets[:, 0], jnp.zeros((pose.shape[0], 3))
+        )[:, None]
+        val = float(
+            losses.mpjpe_loss(target, c6d, SKEL.tree, offsets)
+        )
+        assert val < 1e-6
+
+    def test_total_correlation_matches_naive(self):
+        B, D = 12, 4
+        z = jax.random.normal(jax.random.PRNGKey(36), (B, D))
+        mu = jax.random.normal(jax.random.PRNGKey(37), (B, D))
+        sig = jax.random.uniform(jax.random.PRNGKey(38), (B, D)) + 0.5
+        L = jnp.zeros((B, D, D)).at[:, jnp.arange(D), jnp.arange(D)].set(sig)
+        ours = float(losses.total_correlation(z, mu, L))
+        logvar = np.log(np.asarray(sig) ** 2)
+        zn, mun = np.asarray(z), np.asarray(mu)
+        lq = -0.5 * (
+            np.exp(-logvar[None]) * (zn[:, None] - mun[None]) ** 2
+            + logvar[None]
+            + np.log(2 * np.pi)
+        )
+        from scipy.special import logsumexp
+
+        log_qz_product = logsumexp(lq, axis=1).sum(-1)
+        log_qz = logsumexp(lq.sum(-1), axis=1)
+        expected = float(np.mean(log_qz - log_qz_product))
+        assert abs(ours - expected) < 1e-3
+
+    def test_direct_lsq_exact_fit(self):
+        z = jax.random.normal(jax.random.PRNGKey(39), (32, 8))
+        W = jax.random.normal(jax.random.PRNGKey(40), (8, 3))
+        y = z @ W
+        assert float(losses.direct_lsq_loss(z, y)) < 1e-3
