@@ -1,0 +1,186 @@
+"""Benchmark: SC-VAE training throughput (samples/sec/chip).
+
+Measures the steady-state fused train step of the flagship ResVAE
+(reference operating point: window 51, ch 64-1024, z 128 - BASELINE.md row 3)
+with the conditional + linear + MALS + gradient-reversal scrubber pipeline
+and the on-device window-assembly data path, on synthetic pose streams.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio against the recorded baseline in BENCH_BASELINE.json
+(written on the first run of this benchmark on the target hardware, so later
+rounds report speedup vs the round-1 TPU number). The reference itself
+publishes no throughput numbers (BASELINE.md), and its CUDA-only PyTorch
+implementation cannot run on this host - so the recorded round-1 TPU number
+is the regression anchor.
+"""
+
+import argparse
+import json
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch: int, window: int, z_dim: int, ch, small: bool):
+    from scrubvae_tpu import factory
+    from scrubvae_tpu.data.dataset import StreamDataset
+    from scrubvae_tpu.data.pipeline import build_frame_store
+    from scrubvae_tpu.data.skeleton import load_skeleton
+    from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+    from scrubvae_tpu.train.trainer import Trainer
+
+    here = pathlib.Path(__file__).parent
+    skel = load_skeleton(here / "configs" / "mouse_skeleton.yaml")
+    n_frames = max(batch * 2 * 8, 4096)
+    pose, ids = synthetic_pose_stream(skel, n_frames=n_frames, n_ids=4, seed=0)
+    store = build_frame_store(pose, ids, skel, window=window, stride=2)
+    arena = np.asarray([[-290, -290, 0], [290, 290, 120]], np.float32)
+    ds = StreamDataset(
+        store,
+        skel,
+        ("x6d", "root", "offsets", "target_pose", "avg_speed_3d", "heading", "ids"),
+        "midfwd",
+        arena_size=arena,
+        discrete_classes={"ids": np.unique(ids)},
+    )
+    cfg = {
+        "data": {
+            "batch_size": batch,
+            "dataset": "synthetic",
+            "direction_process": "midfwd",
+            "arena_size": arena.tolist(),
+        },
+        "disentangle": {
+            "method": {
+                "conditional": ["avg_speed_3d", "heading"],
+                "linear": ["avg_speed_3d"],
+                "moving_avg_lsq": ["avg_speed_3d"],
+                "grad_reversal": ["avg_speed_3d"],
+            },
+            "features": ["avg_speed_3d", "heading"],
+            "alpha": 1.0,
+            "balance_loss": None,
+            "bandwidth": 1.0,
+            "polynomial": 1,
+            "var_mode": "sphere",
+            "l2_reg": 0.0,
+            "n_iter": 2,
+        },
+        "model": {
+            "type": "rcnn",
+            "z_dim": z_dim,
+            "window": window,
+            "diag": False,
+            "channel": list(ch),
+            "kernel": 5,
+            "start_epoch": 0,
+            "load_model": None,
+            "prior": "gaussian",
+            "activation": "prelu",
+            "init_dilation": None,
+        },
+        "train": {
+            "lr": 1e-4,
+            "optimizer": "adamw",
+            "lr_schedule": "cawr",
+            "num_epochs": 1,
+            "seed": 0,
+            "donate": True,
+        },
+        "loss": {
+            "rotation": 1.0,
+            "prior": 0.001,
+            "root": 0.01,
+            "jpe": 1.0,
+            "avg_speed_3d_mals": 0.1,
+            "avg_speed_3d_lin": 1.0,
+            "avg_speed_3d_gr": 1.0,
+        },
+        "out_path": "/tmp/scrubvae_bench/",
+    }
+    for d in ("weights", "checkpoints", "latents"):
+        pathlib.Path(cfg["out_path"], d).mkdir(parents=True, exist_ok=True)
+    model, info = factory.build_model(
+        cfg["model"],
+        cfg["disentangle"],
+        n_keypts=18,
+        direction_process="midfwd",
+        arena_size=arena,
+        discrete_classes=ds.discrete_classes,
+    )
+    return Trainer(cfg, {"train": ds}, model, info), ds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--window", type=int, default=51)
+    ap.add_argument("--z_dim", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--small", action="store_true", help="tiny model (CPU smoke)")
+    args = ap.parse_args()
+
+    ch = (8, 8, 16, 16, 32) if args.small else (64, 128, 256, 512, 1024)
+    batch = 16 if args.small else args.batch
+
+    trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small)
+    loss_scale = trainer.loss_scale_for_epoch(1)
+    n = len(ds)
+    rng = np.random.default_rng(0)
+
+    state = trainer.state
+    # Warmup (compile)
+    for i in range(args.warmup):
+        idx = jnp.asarray(rng.integers(0, n, size=batch))
+        state, metrics = trainer.train_step(state, idx, loss_scale)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        idx = jnp.asarray(rng.integers(0, n, size=batch))
+        state, metrics = trainer.train_step(state, idx, loss_scale)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    sps = batch * args.steps / dt
+    n_chips = jax.device_count()
+    sps_per_chip = sps / max(n_chips, 1)
+
+    baseline_path = pathlib.Path(__file__).parent / "BENCH_BASELINE.json"
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+        vs = sps_per_chip / baseline["value"]
+    else:
+        if not args.small:
+            baseline_path.write_text(
+                json.dumps(
+                    {
+                        "metric": "train_samples_per_sec_per_chip",
+                        "value": sps_per_chip,
+                        "unit": "samples/sec/chip",
+                        "platform": jax.devices()[0].platform,
+                        "note": "round-1 anchor (reference publishes no numbers)",
+                    }
+                )
+            )
+        vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(sps_per_chip, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -441,18 +441,20 @@ class QDAState:
 def qda_init(nx: int, classes, lamdiff: float = 1e-2, delta: float = 1e-3):
     classes = jnp.asarray(classes)
     C = classes.shape[0]
-    eye = jnp.tile(jnp.eye(nx), (C, 1, 1))
-    zeros = jnp.zeros((C, nx))
+    # Distinct buffers per field: sharing one array across fields breaks
+    # buffer donation in the jitted step (same buffer donated twice).
+    eye = lambda: jnp.tile(jnp.eye(nx), (C, 1, 1))
+    zeros = lambda: jnp.zeros((C, nx))
     return QDAState(
         classes=classes,
-        m0a=zeros,
-        m1a=zeros,
-        m0b=zeros,
-        m1b=zeros,
-        S0a=eye,
-        S1a=eye,
-        S0b=eye,
-        S1b=eye,
+        m0a=zeros(),
+        m1a=zeros(),
+        m0b=zeros(),
+        m1b=zeros(),
+        S0a=eye(),
+        S1a=eye(),
+        S0b=eye(),
+        S1b=eye(),
         lama=jnp.full((C,), 0.2),
         lamb=jnp.full((C,), 0.2 + lamdiff),
         lamdiff=lamdiff,

@@ -75,7 +75,7 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
+            mutable = False
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]

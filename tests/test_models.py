@@ -1,0 +1,260 @@
+"""Model-layer tests: conv arithmetic parity, Cholesky head, VAE shapes,
+conditional decode, transformer variant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scrubvae_tpu.models.layers import (
+    CholeskyL,
+    Conv1d,
+    ConvTranspose1d,
+    conv_out_len,
+    conv_transpose_out_len,
+    decoder_lengths,
+    encoder_lengths,
+    upsample_linear_1d,
+)
+from scrubvae_tpu.models.mlp_vae import MLPVAE
+from scrubvae_tpu.models.residual import ResVAE
+from scrubvae_tpu.models.scrubvae import ScrubVAE
+from scrubvae_tpu.models.transformer import TransformerVAE
+
+ARENA = ((-300.0, -300.0, 0.0), (300.0, 300.0, 100.0))
+
+
+def dummy_batch(B=2, W=51, J=18, with_conditional=False):
+    rng = np.random.default_rng(0)
+    data = {
+        "x6d": jnp.asarray(rng.normal(size=(B, W, J, 6)).astype(np.float32)),
+        "root": jnp.asarray(rng.normal(size=(B, W, 3)).astype(np.float32)),
+    }
+    if with_conditional:
+        data["avg_speed_3d"] = jnp.asarray(
+            rng.normal(size=(B, 3)).astype(np.float32)
+        )
+        data["ids"] = jnp.asarray(rng.integers(0, 4, size=(B,)))
+    return data
+
+
+class TestConvArithmetic:
+    def test_encoder_lengths_match_reference_math(self):
+        # Reference find_latent_dim for window=51, kernel=5, 4 layers -> 4
+        # (residual.py:6-20 float-chain truncates to the same value as exact
+        # per-layer floor arithmetic for these defaults).
+        assert encoder_lengths(51, 5, 4, [1, 1, 1, 1])[-1] == 4
+        assert encoder_lengths(200, 5, 4, [1, 1, 1, 1])[-1] == 13
+
+    def test_decoder_final_kernel_reconstructs_window(self):
+        lat = encoder_lengths(51, 5, 4, [1] * 4)[-1]
+        l_out = decoder_lengths(lat, 5, 4)[-1]
+        final_kernel = 51 - l_out + 7
+        # ConvTranspose(final_kernel, stride 1, pad 3) output length:
+        assert conv_transpose_out_len(l_out, final_kernel, 1, 3) == 51
+
+    def test_torch_conv_parity(self):
+        torch = __import__("torch")
+        x = np.random.default_rng(1).normal(size=(2, 51, 7)).astype(np.float32)
+        for k, s, d in [(5, 2, 1), (3, 1, 1), (5, 1, 2), (7, 1, 1)]:
+            p = k // 2
+            ours_len = conv_out_len(51, k, s, p, d)
+            t = torch.nn.Conv1d(7, 4, k, s, p, dilation=d)(
+                torch.from_numpy(x.transpose(0, 2, 1))
+            )
+            assert t.shape[-1] == ours_len
+            m = Conv1d(4, k, s, p, d)
+            params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            out = m.apply(params, jnp.asarray(x))
+            assert out.shape == (2, ours_len, 4)
+
+    def test_torch_conv_transpose_parity(self):
+        torch = __import__("torch")
+        x = np.random.default_rng(2).normal(size=(2, 13, 6)).astype(np.float32)
+        for k, s, p in [(5, 2, 2), (5, 1, 2), (9, 1, 3), (6, 1, 2)]:
+            t = torch.nn.ConvTranspose1d(6, 4, k, s, p)(
+                torch.from_numpy(x.transpose(0, 2, 1))
+            )
+            ours_len = conv_transpose_out_len(13, k, s, p)
+            assert t.shape[-1] == ours_len
+            m = ConvTranspose1d(4, k, s, p)
+            params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            out = m.apply(params, jnp.asarray(x))
+            assert out.shape == (2, ours_len, 4)
+
+    def test_upsample_linear_matches_torch(self):
+        torch = __import__("torch")
+        x = np.random.default_rng(3).normal(size=(2, 8, 3)).astype(np.float32)
+        ours = np.asarray(upsample_linear_1d(jnp.asarray(x), 2))
+        theirs = (
+            torch.nn.Upsample(scale_factor=2, mode="linear", align_corners=False)(
+                torch.from_numpy(x.transpose(0, 2, 1))
+            )
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class TestCholeskyL:
+    def test_lower_triangular_positive_diag(self):
+        D = 5
+        m = CholeskyL(D, is_diag=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, D * (D + 1) // 2))
+        L = m.apply(m.init(jax.random.PRNGKey(1), x), x)
+        assert L.shape == (3, D, D)
+        np.testing.assert_allclose(
+            np.asarray(jnp.triu(L, k=1)), 0.0, atol=1e-7
+        )
+        assert (np.asarray(jnp.diagonal(L, axis1=-2, axis2=-1)) > 0).all()
+
+    def test_diag_mode(self):
+        D = 4
+        m = CholeskyL(D, is_diag=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, D))
+        L = m.apply(m.init(jax.random.PRNGKey(1), x), x)
+        off = np.asarray(L) - np.asarray(
+            jnp.zeros((3, D, D)).at[:, np.arange(D), np.arange(D)].set(
+                jnp.diagonal(L, axis1=-2, axis2=-1)
+            )
+        )
+        np.testing.assert_allclose(off, 0.0, atol=1e-7)
+
+
+class TestResVAE:
+    def test_forward_shapes_and_finite(self):
+        model = ResVAE(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            kernel=5,
+            z_dim=12,
+            window=51,
+            arena_size=ARENA,
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+        out, _ = model.apply(
+            variables, data, rng=rng, train=True, mutable=["batch_stats"]
+        )
+        assert out["mu"].shape == (2, 12)
+        assert out["L"].shape == (2, 12, 12)
+        assert out["x6d"].shape == (2, 51, 18, 6)
+        assert out["root"].shape == (2, 51, 3)
+        for v in jax.tree.leaves(out):
+            assert bool(jnp.isfinite(v).all())
+
+    def test_eval_uses_mu(self):
+        model = ResVAE(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            z_dim=8,
+            window=51,
+            arena_size=ARENA,
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+        out = model.apply(variables, data, rng=rng, train=False)
+        np.testing.assert_allclose(np.asarray(out["z"]), np.asarray(out["mu"]))
+
+    def test_conditional_decode_dims(self):
+        model = ResVAE(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            z_dim=8,
+            window=51,
+            arena_size=ARENA,
+            conditional_dim=3 + 4,
+            conditional_keys=("avg_speed_3d", "ids"),
+            discrete_classes={"ids": 4},
+        )
+        data = dummy_batch(with_conditional=True)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+        out, _ = model.apply(
+            variables, data, rng=rng, train=True, mutable=["batch_stats"]
+        )
+        assert out["var"].shape == (2, 7)
+
+    def test_beta_prior_heads(self):
+        model = ResVAE(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            z_dim=8,
+            window=51,
+            arena_size=ARENA,
+            prior="beta",
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+        out, _ = model.apply(
+            variables, data, rng=rng, train=True, mutable=["batch_stats"]
+        )
+        assert (np.asarray(out["alpha"]) > 1).all()
+        assert (np.asarray(out["beta"]) > 1).all()
+        assert (np.abs(np.asarray(out["z"])) <= 1).all()
+
+
+class TestScrubVAEAssembly:
+    def test_linear_and_gr_passes(self):
+        vae = MLPVAE(
+            in_channels=18 * 6 + 3,
+            window=51,
+            z_dim=8,
+            hidden=(32,),
+            arena_size=ARENA,
+        )
+        model = ScrubVAE(
+            vae=vae, linear_dims={"avg_speed_3d": 3}, gr_dims={"avg_speed_3d": 3}
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+        out = model.apply(variables, data, rng=rng, train=True)
+        dis = out["disentangle"]
+        assert dis["linear"]["avg_speed_3d"]["v"].shape == (2, 3)
+        assert dis["linear"]["avg_speed_3d"]["z_null"].shape == (2, 8)
+        assert len(dis["grad_reversal"]["avg_speed_3d"]) == 4
+
+    def test_gr_uses_null_space_latent(self):
+        """GR heads must consume z_null when a linear projection exists
+        (reference residual.py:352-356)."""
+        vae = MLPVAE(
+            in_channels=18 * 6 + 3, window=51, z_dim=8, hidden=(32,),
+            arena_size=ARENA,
+        )
+        model = ScrubVAE(
+            vae=vae, linear_dims={"heading": 2}, gr_dims={"heading": 2}
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=True)
+
+        # Gradient of GR output wrt the linear decoder weight should be
+        # nonzero only through z_null (sanity: it is connected).
+        def f(params):
+            out = model.apply({"params": params}, data, rng=rng, train=True)
+            return jnp.sum(out["disentangle"]["grad_reversal"]["heading"][0])
+
+        g = jax.grad(f)(variables["params"])
+        gnorm = float(
+            sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g["linear_heading"]))
+        )
+        assert gnorm > 0
+
+
+class TestTransformerVAE:
+    def test_shapes(self):
+        model = TransformerVAE(
+            in_channels=111, z_dim=16, window=51, n_heads=2, ff_size=32, n_layers=1
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 51, 111))
+        rng = jax.random.PRNGKey(1)
+        variables = model.init({"params": rng, "dropout": rng}, x, rng=rng)
+        x_hat, mu, L = model.apply(
+            variables, x, rng=rng, train=True, rngs={"dropout": rng}
+        )
+        assert x_hat.shape == (2, 51, 111)
+        assert mu.shape == (2, 16)
+        assert L.shape == (2, 16, 16)

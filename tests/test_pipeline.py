@@ -1,0 +1,161 @@
+"""Data-pipeline tests: window indexing, outlier filtering, and parity of the
+on-device window assembly with a naive materialized implementation that
+follows the reference preprocessing algorithm step by step
+(dataset.py:313-454)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from scrubvae_tpu.data.dataset import StreamDataset, epoch_batches
+from scrubvae_tpu.data.pipeline import build_frame_store, materialize
+from scrubvae_tpu.data.skeleton import load_skeleton
+from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+from scrubvae_tpu.data.windows import speed_outlier_mask, window_starts
+from scrubvae_tpu.ops import kinematics as kin
+from scrubvae_tpu.ops import quaternion as qtn
+
+SKEL = load_skeleton("configs/mouse_skeleton.yaml")
+
+
+class TestWindows:
+    def test_window_starts_respect_id_boundaries(self):
+        ids = np.asarray([0] * 100 + [1] * 30 + [2] * 10)
+        starts = window_starts(ids, stride=2, window=20)
+        for s in starts:
+            assert ids[s] == ids[s + 19]
+        # id 2 segment shorter than window is skipped
+        assert (ids[starts] != 2).all()
+        # stride honored within segments
+        assert set(np.diff(starts[ids[starts] == 0])) == {2}
+
+    def test_speed_outlier_prefix_sum_matches_naive(self):
+        rng = np.random.default_rng(0)
+        pose = rng.normal(size=(200, 5, 3)).astype(np.float32)
+        starts = window_starts(np.zeros(200, dtype=int), 3, 21)
+        mask = speed_outlier_mask(pose, starts, 21, threshold=2.0)
+        for i, s in enumerate(starts):
+            w = pose[s : s + 21]
+            avg = np.sqrt(((np.diff(w, axis=0) ** 2).sum(-1))).mean()
+            assert mask[i] == (avg <= 2.0)
+
+
+def naive_reference_pipeline(pose, ids, window=21, stride=3):
+    """Materialized preprocessing mirroring the reference algorithm: window
+    first, then IK per windowed frame, mid-frame centering + midfwd."""
+    starts = window_starts(ids, stride, window)
+    win = np.stack([pose[s : s + window] for s in starts])  # (N, W, J, 3)
+    N, W, J, _ = win.shape
+
+    yaw = np.asarray(kin.frame_yaw(jnp.asarray(win[:, window // 2]), 0, 1))
+    heading = np.stack([np.sin(yaw), np.cos(yaw)], -1)
+
+    root = win[..., 0, :].copy()
+    center = np.zeros_like(root)
+    center[..., 0] = root[:, window // 2, 0][:, None]
+    center[..., 1] = root[:, window // 2, 1][:, None]
+    root = root - center
+
+    flat = win.reshape(-1, J, 3)
+    local_q = np.asarray(
+        kin.inv_kin(jnp.asarray(flat), SKEL.tree, forward_indices=[1, 0])
+    ).reshape(N, W, J, 4)
+
+    fwd_q = np.zeros((N, 4), dtype=np.float32)
+    fwd_q[:, 0] = np.cos(yaw / 2)
+    fwd_q[:, 3] = np.sin(yaw / 2)
+    fwd_rep = np.repeat(fwd_q[:, None], W, axis=1)
+    local_q[..., 0, :] = np.asarray(
+        qtn.qmul(jnp.asarray(fwd_rep), jnp.asarray(local_q[..., 0, :]))
+    )
+    root = np.asarray(qtn.qrot(jnp.asarray(fwd_rep), jnp.asarray(root)))
+
+    x6d = np.asarray(qtn.quaternion_to_cont6d(jnp.asarray(local_q)))
+    offsets = np.asarray(
+        kin.segment_lengths(jnp.asarray(flat), SKEL.tree)
+    ).reshape(N, W, J, 3)
+    return dict(starts=starts, x6d=x6d, root=root, offsets=offsets, heading=heading)
+
+
+class TestPipelineParity:
+    def test_on_device_assembly_matches_naive_materialization(self):
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=150, n_ids=1, seed=3)
+        store = build_frame_store(
+            pose, ids, SKEL, window=21, stride=3, speed_threshold=None
+        )
+        ours = materialize(
+            store, SKEL.tree, ("x6d", "root", "offsets", "heading"), "midfwd"
+        )
+        naive = naive_reference_pipeline(pose, ids, window=21, stride=3)
+        assert (np.asarray(store.starts) == naive["starts"]).all()
+        np.testing.assert_allclose(ours["heading"][:, 0], naive["heading"][:, 0], atol=1e-4)
+        np.testing.assert_allclose(ours["root"], naive["root"], atol=1e-3)
+        np.testing.assert_allclose(ours["offsets"], naive["offsets"], atol=1e-3)
+        # Quaternion sign is gauge; compare resulting rotations via cont6d
+        np.testing.assert_allclose(ours["x6d"], naive["x6d"], atol=2e-3)
+
+    def test_target_pose_fk_consistency(self):
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=1, seed=4)
+        store = build_frame_store(
+            pose, ids, SKEL, window=21, stride=5, speed_threshold=None
+        )
+        out = materialize(
+            store, SKEL.tree, ("x6d", "offsets", "target_pose"), "midfwd"
+        )
+        # target_pose = FK(x6d, offsets, zero root): recompute directly
+        N, W, J = out["x6d"].shape[:3]
+        recon = np.asarray(
+            kin.fwd_kin_cont6d(
+                jnp.asarray(out["x6d"].reshape(-1, J, 6)),
+                SKEL.tree,
+                jnp.asarray(out["offsets"].reshape(-1, J, 3)),
+                jnp.zeros((N * W, 3)),
+                do_root_R=True,
+                eps=1e-8,
+            )
+        ).reshape(N, W, J, 3)
+        np.testing.assert_allclose(out["target_pose"], recon, atol=1e-4)
+        # Relative geometry is preserved: bone lengths of target match raw
+        mid_pose = pose[np.asarray(store.starts) + 10]
+        pp = SKEL.tree.pos_parent
+        for j in [1, 5, 8]:
+            raw_len = np.linalg.norm(
+                mid_pose[:, j] - mid_pose[:, pp[j]], axis=-1
+            )
+            tgt_len = np.linalg.norm(
+                out["target_pose"][:, 10, j] - out["target_pose"][:, 10, pp[j]],
+                axis=-1,
+            )
+            np.testing.assert_allclose(tgt_len, raw_len, rtol=1e-3)
+
+    def test_avg_speed_3d_and_ids(self):
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=200, n_ids=2, seed=5)
+        store = build_frame_store(
+            pose, ids, SKEL, window=21, stride=3, speed_threshold=None
+        )
+        out = materialize(store, SKEL.tree, ("avg_speed_3d", "ids"), "midfwd")
+        assert out["avg_speed_3d"].shape == (store.n_windows, 3)
+        starts = np.asarray(store.starts)
+        np.testing.assert_array_equal(out["ids"], ids[starts + 10])
+
+
+class TestBatching:
+    def test_epoch_batches_cover_and_shuffle(self):
+        rng = np.random.default_rng(0)
+        batches = list(epoch_batches(103, 16, rng))
+        assert len(batches) == 6
+        flat = np.concatenate(batches)
+        assert len(np.unique(flat)) == 96
+
+    def test_stream_dataset_batch_keys(self):
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=150, n_ids=1, seed=6)
+        store = build_frame_store(pose, ids, SKEL, window=21, stride=3)
+        ds = StreamDataset(
+            store,
+            SKEL,
+            ("x6d", "root", "offsets", "target_pose", "heading", "ids"),
+            "midfwd",
+            arena_size=np.asarray([[-300, -300, 0], [300, 300, 100]], np.float32),
+        )
+        b = ds.batch(jnp.arange(4))
+        assert set(b) == {"x6d", "root", "offsets", "target_pose", "heading", "ids"}
+        assert b["x6d"].shape == (4, 21, 18, 6)

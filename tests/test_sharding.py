@@ -1,0 +1,154 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh:
+the jitted train step runs SPMD with sharded batches, results match the
+single-device run, and streaming scrubber state stays replica-consistent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs SCRUBVAE_TEST_DEVICES=8 (virtual multi-device CPU backend)",
+)
+
+from scrubvae_tpu import factory
+from scrubvae_tpu.data.dataset import StreamDataset
+from scrubvae_tpu.data.pipeline import build_frame_store
+from scrubvae_tpu.data.skeleton import load_skeleton
+from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+from scrubvae_tpu.parallel import make_mesh, replicate, shard_batch
+
+SKEL = load_skeleton("configs/mouse_skeleton.yaml")
+ARENA = np.asarray([[-300, -300, 0], [300, 300, 100]], np.float32)
+
+
+def make_trainer(tmp_path, n_frames=300):
+    import pathlib
+
+    pose, ids = synthetic_pose_stream(SKEL, n_frames=n_frames, n_ids=2, seed=0)
+    store = build_frame_store(pose, ids, SKEL, window=31, stride=2)
+    ds = StreamDataset(
+        store,
+        SKEL,
+        ("x6d", "root", "offsets", "target_pose", "avg_speed_3d", "ids"),
+        "midfwd",
+        arena_size=ARENA,
+        discrete_classes={"ids": np.unique(ids)},
+    )
+    cfg = {
+        "data": {
+            "batch_size": 16,
+            "dataset": "synthetic",
+            "direction_process": "midfwd",
+            "arena_size": ARENA.tolist(),
+        },
+        "disentangle": {
+            "method": {"moving_avg_lsq": ["avg_speed_3d"]},
+            "features": ["avg_speed_3d"],
+            "alpha": 1.0,
+            "balance_loss": None,
+            "bandwidth": 1.0,
+            "polynomial": 1,
+            "var_mode": "sphere",
+            "l2_reg": 0.0,
+            "n_iter": 2,
+        },
+        "model": {
+            "type": "mlp",
+            "z_dim": 8,
+            "window": 31,
+            "diag": True,
+            "hidden": [32],
+            "start_epoch": 0,
+            "load_model": None,
+            "prior": "gaussian",
+        },
+        "train": {
+            "lr": 1e-3,
+            "optimizer": "adam",
+            "lr_schedule": None,
+            "num_epochs": 1,
+            "seed": 0,
+            "donate": False,
+        },
+        "loss": {
+            "rotation": 1.0,
+            "prior": 0.001,
+            "jpe": 1.0,
+            "avg_speed_3d_mals": 0.1,
+        },
+        "out_path": str(tmp_path) + "/",
+    }
+    for d in ("weights", "checkpoints", "latents"):
+        pathlib.Path(cfg["out_path"], d).mkdir(parents=True, exist_ok=True)
+    model, info = factory.build_model(
+        cfg["model"],
+        cfg["disentangle"],
+        n_keypts=18,
+        direction_process="midfwd",
+        arena_size=ARENA,
+        discrete_classes=ds.discrete_classes,
+    )
+    from scrubvae_tpu.train.trainer import Trainer
+
+    return Trainer(cfg, {"train": ds, "val": ds}, model, info), ds
+
+
+class TestMesh:
+    def test_sharded_step_matches_single_device(self, tmp_path):
+        tr, ds = make_trainer(tmp_path)
+        mesh = make_mesh(8)
+        idx = jnp.arange(16)
+        loss_scale = tr.loss_scale_for_epoch(1)
+
+        # Single-device (default placement) step
+        state_a, metrics_a = tr.train_step(tr.state, idx, loss_scale)
+
+        # Rebuild an identical fresh trainer state, shard the index batch
+        tr2, _ = make_trainer(tmp_path)
+        state_sharded = replicate(tr2.state, mesh)
+        idx_sharded = jax.device_put(idx, NamedSharding(mesh, P("data")))
+        state_b, metrics_b = tr2.train_step(state_sharded, idx_sharded, loss_scale)
+
+        for k in metrics_a:
+            a, b = float(metrics_a[k]), float(metrics_b[k])
+            assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (k, a, b)
+
+        # Params after one step agree
+        for pa, pb in zip(
+            jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=2e-3, atol=2e-5
+            )
+
+    def test_scrubber_state_consistent_under_sharding(self, tmp_path):
+        tr, ds = make_trainer(tmp_path)
+        mesh = make_mesh(8)
+        idx = jnp.arange(16)
+        loss_scale = tr.loss_scale_for_epoch(1)
+        state_a, _ = tr.train_step(tr.state, idx, loss_scale)
+
+        tr2, _ = make_trainer(tmp_path)
+        state_sharded = replicate(tr2.state, mesh)
+        idx_sharded = jax.device_put(idx, NamedSharding(mesh, P("data")))
+        state_b, _ = tr2.train_step(state_sharded, idx_sharded, loss_scale)
+
+        st_a = state_a.scrub_state["moving_avg_lsq"]["avg_speed_3d"]
+        st_b = state_b.scrub_state["moving_avg_lsq"]["avg_speed_3d"]
+        # Sxx accumulates the *global* batch moment under sharding - must
+        # match the single-device value, not a per-shard fraction.
+        np.testing.assert_allclose(
+            np.asarray(st_a.Sxx0), np.asarray(st_b.Sxx0), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.Sxy0), np.asarray(st_b.Sxy0), rtol=1e-3, atol=1e-4
+        )
+
+    def test_shard_batch_helper(self):
+        mesh = make_mesh(8)
+        batch = {"x": jnp.zeros((16, 4)), "y": jnp.zeros((16,))}
+        sharded = shard_batch(mesh, batch)
+        assert sharded["x"].sharding.spec == P("data")

@@ -1,0 +1,226 @@
+"""Integration tests: the BASELINE.json config ladder trains end-to-end with
+finite decreasing losses, checkpoints save/restore, config reader parity."""
+
+import copy
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from scrubvae_tpu import factory
+from scrubvae_tpu.data.dataset import StreamDataset
+from scrubvae_tpu.data.pipeline import build_frame_store
+from scrubvae_tpu.data.skeleton import load_skeleton
+from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+from scrubvae_tpu.params import read
+from scrubvae_tpu.train.trainer import Trainer
+from scrubvae_tpu.utils import checkpoint as ckpt
+
+SKEL = load_skeleton("configs/mouse_skeleton.yaml")
+ARENA = np.asarray([[-300, -300, 0], [300, 300, 100]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    pose, ids = synthetic_pose_stream(SKEL, n_frames=400, n_ids=2, seed=0)
+    store = build_frame_store(pose, ids, SKEL, window=31, stride=2)
+    return StreamDataset(
+        store,
+        SKEL,
+        ("x6d", "root", "offsets", "target_pose", "avg_speed_3d", "heading", "ids"),
+        "midfwd",
+        arena_size=ARENA,
+        discrete_classes={"ids": np.unique(ids)},
+    )
+
+
+def base_config(tmp_path, **model_overrides):
+    cfg = {
+        "data": {
+            "batch_size": 16,
+            "dataset": "synthetic",
+            "direction_process": "midfwd",
+            "arena_size": ARENA.tolist(),
+        },
+        "disentangle": {
+            "method": {},
+            "features": [],
+            "alpha": 1.0,
+            "balance_loss": None,
+            "bandwidth": 1.0,
+            "polynomial": 1,
+            "var_mode": "sphere",
+            "l2_reg": 0.0,
+            "n_iter": 2,
+        },
+        "model": {
+            "type": "mlp",
+            "z_dim": 8,
+            "window": 31,
+            "diag": True,
+            "hidden": [32],
+            "channel": [8, 8, 16, 16, 32],
+            "kernel": 5,
+            "start_epoch": 0,
+            "load_model": None,
+            "prior": "gaussian",
+            "activation": "prelu",
+            "init_dilation": None,
+        },
+        "train": {
+            "lr": 1e-3,
+            "optimizer": "adam",
+            "lr_schedule": None,
+            "num_epochs": 1,
+            "beta_anneal": None,
+            "minimal_test": True,
+            "seed": 0,
+            "eval_start_epoch": 999,
+        },
+        "loss": {"rotation": 1.0, "prior": 0.001, "root": 0.01, "jpe": 1.0},
+        "out_path": str(tmp_path) + "/",
+    }
+    cfg["model"].update(model_overrides)
+    for d in ("weights", "checkpoints", "latents"):
+        pathlib.Path(cfg["out_path"], d).mkdir(parents=True, exist_ok=True)
+    return cfg
+
+
+def run_config(cfg, dataset, epochs=1):
+    feats = sorted({f for v in cfg["disentangle"]["method"].values() for f in v})
+    cfg["disentangle"]["features"] = [f for f in feats if f != "ids"] + (
+        ["ids"] if "ids" in feats else []
+    )
+    model, info = factory.build_model(
+        cfg["model"],
+        cfg["disentangle"],
+        n_keypts=18,
+        direction_process="midfwd",
+        arena_size=ARENA,
+        discrete_classes=dataset.discrete_classes,
+    )
+    tr = Trainer(cfg, {"train": dataset, "val": dataset}, model, info)
+    tr.fit(epochs)
+    metrics = {k: v[-1] for k, v in tr.logger.history.items()}
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), f"{k} is not finite"
+    return tr, metrics
+
+
+class TestConfigLadder:
+    def test_cfg1_vanilla_mlp(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        tr, m = run_config(cfg, dataset)
+        assert "total_train" in m
+
+    def test_cfg2_conditional(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["disentangle"]["method"] = {"conditional": ["avg_speed_3d", "heading"]}
+        tr, m = run_config(cfg, dataset)
+        assert tr.info["conditional_dim"] == 5
+
+    def test_cfg3_mals_linear(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["disentangle"]["method"] = {
+            "linear": ["avg_speed_3d"],
+            "moving_avg_lsq": ["avg_speed_3d"],
+        }
+        cfg["loss"].update({"avg_speed_3d_mals": 0.1, "avg_speed_3d_lin": 1.0})
+        tr, m = run_config(cfg, dataset)
+        assert "avg_speed_3d_mals_train" in m
+        assert "lambda_mals_avg_speed_3d" in m
+        # MALS state must have moved from init
+        st = tr.state.scrub_state["moving_avg_lsq"]["avg_speed_3d"]
+        assert float(jnp.abs(st.Sxy0).sum()) > 0
+
+    def test_cfg4_adversarial_full(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["disentangle"]["method"] = {
+            "conditional": ["avg_speed_3d", "heading"],
+            "grad_reversal": ["avg_speed_3d"],
+            "adversarial_net": ["avg_speed_3d"],
+            "qda": ["ids"],
+            "moving_avg": ["ids"],
+        }
+        cfg["loss"].update(
+            {
+                "avg_speed_3d_gr": 1.0,
+                "avg_speed_3d_an": 1.0,
+                "ids_qda": 0.01,
+                "ids_ma": 0.01,
+                "mcmi": 0.1,
+                "total_correlation": 0.1,
+            }
+        )
+        cfg["train"]["beta_anneal"] = "cyclical"
+        tr, m = run_config(cfg, dataset)
+        for key in (
+            "avg_speed_3d_gr_train",
+            "avg_speed_3d_an_train",
+            "ids_qda_train",
+            "ids_ma_train",
+            "mcmi_train",
+            "total_correlation_train",
+        ):
+            assert key in m
+        # MI estimator became valid after first refresh
+        assert float(tr.state.mi_state.valid) == 1.0
+        # QDA/MA streaming states updated
+        assert float(jnp.abs(tr.state.scrub_state["moving_avg"]["ids"].m1).sum()) > 0
+
+    def test_loss_decreases_over_epochs(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["train"]["num_epochs"] = 4
+        tr, _ = run_config(cfg, dataset, epochs=4)
+        totals = tr.logger.history["total_train"]
+        assert totals[-1] < totals[0]
+
+
+class TestCheckpointing:
+    def test_weights_saved_every_5_epochs(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        tr, _ = run_config(cfg, dataset, epochs=5)
+        assert (tmp_path / "weights" / "epoch_5.msgpack").exists()
+        assert factory.all_saved_epochs(str(tmp_path) + "/").tolist() == [5]
+
+    def test_roundtrip_restores_exact_params(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        tr, _ = run_config(cfg, dataset, epochs=5)
+        params, batch_stats = ckpt.load_weights(
+            str(tmp_path), 5, tr.state.params, tr.state.batch_stats
+        )
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(tr.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_full_state_resume(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["train"]["num_epochs"] = 20
+        tr, _ = run_config(cfg, dataset, epochs=20)
+        assert (tmp_path / "checkpoints" / "epoch_20.msgpack").exists()
+        restored = ckpt.load_train_state(str(tmp_path), 20, tr.state)
+        assert int(restored.step) == int(tr.state.step)
+
+
+class TestConfigReader:
+    def test_schema_fill_and_feature_derivation(self, tmp_path):
+        raw = {
+            "data": {"batch_size": 4},
+            "disentangle": {
+                "method": {"linear": ["heading"], "conditional": ["avg_speed_3d"]}
+            },
+            "loss": {"rotation": 1},
+            "out_path": "current",
+        }
+        p = tmp_path / "model_config.yaml"
+        with open(p, "w") as f:
+            yaml.dump(raw, f)
+        cfg = read.config(p)
+        assert cfg["model"]["z_dim"] is None  # default-filled
+        assert set(cfg["disentangle"]["features"]) == {"heading", "avg_speed_3d"}
+        assert cfg["out_path"] == str(tmp_path) + "/"
+        assert (tmp_path / "weights").is_dir()
+        assert (tmp_path / "model_config.yaml").exists()
