@@ -103,6 +103,17 @@ def build_model(
             init_dilation=model_config.get("init_dilation"),
             **common,
         )
+    elif mtype == "transformer":
+        from scrubvae_tpu.models.transformer import TransformerVAE
+
+        vae = TransformerVAE(
+            activation=model_config.get("activation") or "gelu",
+            n_heads=model_config.get("n_heads") or 4,
+            ff_size=model_config.get("ff_size") or 512,
+            n_layers=model_config.get("n_layers") or 4,
+            is_diag=bool(model_config.get("diag")),
+            **{k: v for k, v in common.items()},
+        )
     elif mtype == "mlp":
         vae = MLPVAE(
             hidden=tuple(model_config.get("hidden") or (512, 256)),

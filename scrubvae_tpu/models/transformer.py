@@ -129,6 +129,12 @@ class TransformerDecoder(nn.Module):
 
 
 class TransformerVAE(nn.Module):
+    """Transformer VAE with the shared data-dict interface (same contract as
+    ResVAE / MLPVAE: encode/decode over ``{"x6d","root",feat...}`` with arena
+    normalization and conditional decoding), so the whole train/eval/scrubber
+    stack is model-agnostic. Reference capability:
+    /root/reference/src/scrubvae/model/transformer.py:120-167."""
+
     in_channels: int
     z_dim: int = 128
     window: int = 51
@@ -137,6 +143,11 @@ class TransformerVAE(nn.Module):
     ff_size: int = 512
     n_layers: int = 4
     is_diag: bool = False
+    conditional_dim: int = 0
+    prior: str = "gaussian"
+    arena_size: Optional[tuple] = None
+    conditional_keys: tuple = ()
+    discrete_classes: Optional[dict] = None
 
     def setup(self):
         self.encoder = TransformerEncoder(
@@ -157,13 +168,68 @@ class TransformerVAE(nn.Module):
             ff_size=self.ff_size,
             n_layers=self.n_layers,
         )
+        if self.conditional_dim > 0:
+            # project [z, conditionals] back to the decoder memory width
+            self.cond_proj = nn.Dense(self.z_dim, name="cond_proj")
 
-    def __call__(self, x: Array, rng: Optional[Array] = None, train: bool = True):
-        mu, L = self.encoder(x, train=train)
-        if train and rng is not None:
-            eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
-            z = mu + jnp.einsum("bij,bj->bi", L, eps)
-        else:
-            z = mu
+    def _arena(self, dtype):
+        return jnp.asarray(self.arena_size, dtype=dtype)
+
+    def _flatten_input(self, data) -> Array:
+        from scrubvae_tpu.ops.kinematics import normalize_root
+
+        x6d = data["x6d"]
+        B, W = x6d.shape[0], x6d.shape[1]
+        flat = x6d.reshape(B, W, -1)
+        if self.arena_size is not None:
+            norm_root = normalize_root(data["root"], self._arena(x6d.dtype))
+            return jnp.concatenate([flat, norm_root], axis=-1)
+        return flat
+
+    def encode(self, data, train: bool = True):
+        mu, L = self.encoder(self._flatten_input(data), train=train)
+        return {"mu": mu, "L": L}
+
+    def build_conditionals(self, data):
+        if self.conditional_dim <= 0:
+            return None
+        parts = []
+        discrete = self.discrete_classes or {}
+        for k in self.conditional_keys:
+            v = data[k]
+            if k in discrete:
+                parts.append(
+                    jax.nn.one_hot(v.reshape(-1).astype(jnp.int32), discrete[k])
+                )
+            else:
+                parts.append(v)
+        return jnp.concatenate(parts, axis=-1)
+
+    def decode(self, z, data, train: bool = True):
+        from scrubvae_tpu.ops.kinematics import inv_normalize_root
+
+        out = {}
+        var = self.build_conditionals(data)
+        if var is not None:
+            out["var"] = var
+            z = self.cond_proj(jnp.concatenate([z, var], axis=-1))
         x_hat = self.decoder(z, train=train)
-        return x_hat, mu, L
+        B = x_hat.shape[0]
+        if self.arena_size is not None:
+            out["root"] = inv_normalize_root(x_hat[..., -3:], self._arena(x_hat.dtype))
+            x6d = x_hat[..., :-3]
+        else:
+            x6d = x_hat
+        out["x6d"] = x6d.reshape(B, self.window, -1, 6)
+        return out
+
+    def __call__(self, data, rng: Optional[Array] = None, train: bool = True):
+        out = self.encode(data, train=train)
+        if train and rng is not None:
+            eps = jax.random.normal(rng, out["mu"].shape, dtype=out["mu"].dtype)
+            z = out["mu"] + jnp.einsum("bij,bj->bi", out["L"], eps)
+        else:
+            z = out["mu"]
+        out["z"] = z
+        out.update(self.decode(z, data, train=train))
+        return out

@@ -90,10 +90,16 @@ def compute_batch_loss(
             bl["mcmi"] = jnp.asarray(0.0)
 
     methods = disentangle_config.get("method") or {}
+    linear_keys = set(methods.get("linear") or ())
     for method, keys in methods.items():
+        if method == "conditional":
+            continue  # conditioning has no scrubber loss (reference get/model.py:40-47)
         num_keys = len(keys)
         for key in keys:
-            if "linear" in methods:
+            # Downstream scrubbers for a feature operate in the null space of
+            # that feature's linear decoder when one exists, else on mu
+            # (reference residual.py:337-362).
+            if key in linear_keys:
                 latent = data_o["disentangle"]["linear"][key]["z_null"]
             else:
                 latent = data_o["mu"]

@@ -247,14 +247,50 @@ class TestScrubVAEAssembly:
 class TestTransformerVAE:
     def test_shapes(self):
         model = TransformerVAE(
-            in_channels=111, z_dim=16, window=51, n_heads=2, ff_size=32, n_layers=1
+            in_channels=111,
+            z_dim=16,
+            window=16,
+            n_heads=2,
+            ff_size=32,
+            n_layers=1,
+            arena_size=ARENA,
         )
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 51, 111))
+        data = dummy_batch(B=2, W=16)
         rng = jax.random.PRNGKey(1)
-        variables = model.init({"params": rng, "dropout": rng}, x, rng=rng)
-        x_hat, mu, L = model.apply(
-            variables, x, rng=rng, train=True, rngs={"dropout": rng}
+        variables = model.init({"params": rng, "dropout": rng}, data, rng=rng)
+        out = model.apply(
+            variables, data, rng=rng, train=True, rngs={"dropout": rng}
         )
-        assert x_hat.shape == (2, 51, 111)
-        assert mu.shape == (2, 16)
-        assert L.shape == (2, 16, 16)
+        assert out["x6d"].shape == (2, 16, 18, 6)
+        assert out["root"].shape == (2, 16, 3)
+        assert out["mu"].shape == (2, 16)
+        assert out["L"].shape == (2, 16, 16)
+        assert np.isfinite(np.asarray(out["x6d"])).all()
+
+    def test_conditional_decode_and_factory_dispatch(self):
+        from scrubvae_tpu import factory
+
+        model, info = factory.build_model(
+            {
+                "type": "transformer",
+                "z_dim": 8,
+                "window": 16,
+                "n_heads": 2,
+                "ff_size": 16,
+                "n_layers": 1,
+            },
+            {"method": {"conditional": ["avg_speed_3d", "ids"]}},
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=np.asarray(ARENA, np.float32),
+            discrete_classes={"ids": np.arange(4)},
+        )
+        data = dummy_batch(B=2, W=16, with_conditional=True)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, data, rng=rng)
+        out = model.apply(
+            variables, data, rng=rng, train=True, rngs={"dropout": rng}
+        )
+        # conditional vector = 3 (speed) + 4 (one-hot ids)
+        assert out["var"].shape == (2, 7)
+        assert out["x6d"].shape == (2, 16, 18, 6)

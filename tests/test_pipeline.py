@@ -56,7 +56,7 @@ def naive_reference_pipeline(pose, ids, window=21, stride=3):
     root = root - center
 
     flat = win.reshape(-1, J, 3)
-    local_q = np.asarray(
+    local_q = np.array(
         kin.inv_kin(jnp.asarray(flat), SKEL.tree, forward_indices=[1, 0])
     ).reshape(N, W, J, 4)
 
