@@ -82,6 +82,9 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool):
             "prior": "gaussian",
             "activation": "prelu",
             "init_dilation": None,
+            # bf16 conv/matmul compute, f32 params + losses (the TPU
+            # mixed-precision recipe; parity test: TestMixedPrecision)
+            "precision": "bf16",
         },
         "train": {
             "lr": 1e-4,

@@ -101,6 +101,7 @@ def build_model(
             activation=model_config.get("activation") or "prelu",
             is_diag=bool(model_config.get("diag")),
             init_dilation=model_config.get("init_dilation"),
+            precision=model_config.get("precision") or "fp32",
             **common,
         )
     elif mtype == "transformer":
@@ -355,8 +356,11 @@ def data_and_model(
         )
 
     first = datasets[list(train_val_test)[0]]
+    model_config = dict(config["model"])
+    if config.get("train", {}).get("precision"):
+        model_config.setdefault("precision", config["train"]["precision"])
     model, info = build_model(
-        config["model"],
+        model_config,
         config["disentangle"],
         n_keypts=first.n_keypts,
         direction_process=config["data"].get("direction_process"),

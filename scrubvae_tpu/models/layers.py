@@ -15,7 +15,7 @@ TPU-first choices (documented deviations, not semantic ones):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +80,7 @@ class PReLU(nn.Module):
         alpha = self.param(
             "alpha", lambda key: jnp.asarray(self.init, dtype=jnp.float32)
         )
-        return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
+        return jnp.maximum(x, 0.0) + alpha.astype(x.dtype) * jnp.minimum(x, 0.0)
 
 
 def make_activation(name: str):
@@ -88,7 +88,11 @@ def make_activation(name: str):
 
 
 class Conv1d(nn.Module):
-    """Torch-Conv1d-equivalent 1D conv in NWC layout."""
+    """Torch-Conv1d-equivalent 1D conv in NWC layout.
+
+    ``dtype`` is the compute dtype (bf16 for the MXU fast path); params stay
+    float32 (flax casts per-call, the standard TPU mixed-precision recipe).
+    """
 
     features: int
     kernel: int
@@ -96,6 +100,7 @@ class Conv1d(nn.Module):
     pad: int = 0
     dilation: int = 1
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -106,6 +111,7 @@ class Conv1d(nn.Module):
             padding=[(self.pad, self.pad)],
             kernel_dilation=(self.dilation,),
             use_bias=self.use_bias,
+            dtype=self.dtype,
         )(x)
 
 
@@ -123,6 +129,7 @@ class ConvTranspose1d(nn.Module):
     pad: int = 0
     dilation: int = 1
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -131,6 +138,9 @@ class ConvTranspose1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel, x.shape[-1], self.features),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         edge = self.dilation * (self.kernel - 1) - self.pad
         out = jax.lax.conv_general_dilated(
             x,
@@ -143,7 +153,7 @@ class ConvTranspose1d(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + b
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -186,6 +196,7 @@ class ResidualBlock(nn.Module):
     activation: str = "prelu"
     dilation: int = 1
     bn_momentum: float = 0.9
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -194,17 +205,19 @@ class ResidualBlock(nn.Module):
         act1 = make_activation(self.activation)
         act2 = make_activation(self.activation)
 
-        h = Conv1d(self.features // 2, k, stride, p, self.dilation)(x)
+        h = Conv1d(self.features // 2, k, stride, p, self.dilation, dtype=self.dtype)(x)
         h = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum,
+            dtype=self.dtype,
         )(h)
         h = act1(h)
-        h = Conv1d(self.features, k, 1, p, 1)(h)
+        h = Conv1d(self.features, k, 1, p, 1, dtype=self.dtype)(h)
 
-        skip = Conv1d(self.features, k, stride, p, self.dilation)(x)
+        skip = Conv1d(self.features, k, stride, p, self.dilation, dtype=self.dtype)(x)
 
         out = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum,
+            dtype=self.dtype,
         )(h + skip)
         return act2(out)
 
@@ -218,6 +231,7 @@ class ResidualBlockTranspose(nn.Module):
     activation: str = "prelu"
     dilation: int = 1
     bn_momentum: float = 0.9
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -231,17 +245,19 @@ class ResidualBlockTranspose(nn.Module):
         act1 = make_activation(self.activation)
         act2 = make_activation(self.activation)
 
-        h = ConvTranspose1d(in_ch // 2, k, 1, p)(x)
+        h = ConvTranspose1d(in_ch // 2, k, 1, p, dtype=self.dtype)(x)
         h = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum,
+            dtype=self.dtype,
         )(h)
         h = act1(h)
-        h = ConvTranspose1d(self.features, k, 2, p)(h)
+        h = ConvTranspose1d(self.features, k, 2, p, dtype=self.dtype)(h)
 
         skip = upsample_linear_1d(x, 2)
-        skip = Conv1d(self.features, k + 1, 1, p)(skip)
+        skip = Conv1d(self.features, k + 1, 1, p, dtype=self.dtype)(skip)
 
         out = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum
+            use_running_average=not train, epsilon=1e-4, momentum=self.bn_momentum,
+            dtype=self.dtype,
         )(h + skip)
         return act2(out)

@@ -46,6 +46,7 @@ class ResidualEncoder(nn.Module):
     is_diag: bool = False
     prior: str = "gaussian"
     init_dilation: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 MXU path)
 
     def dilations(self):
         n = len(self.ch) - 1
@@ -56,26 +57,47 @@ class ResidualEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
         dil = self.dilations()
-        h = Conv1d(self.ch[0], 7, 1, 3)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = Conv1d(self.ch[0], 7, 1, 3, dtype=self.dtype)(x)
         h = make_activation(self.activation)(h)
         for i in range(len(self.ch) - 1):
             h = ResidualBlock(
-                self.ch[i + 1], self.kernel, self.activation, dil[i]
+                self.ch[i + 1], self.kernel, self.activation, dil[i],
+                dtype=self.dtype,
             )(h, train=train)
         h = h.reshape(h.shape[0], -1)
 
+        # Heads compute in bf16 on the MXU but emit float32: mu/L feed the
+        # KL, sampler, and scrubbers, which stay in full precision.
         if self.prior == "gaussian":
-            mu = nn.Dense(self.z_dim, name="fc_mu")(h)
+            mu = nn.Dense(self.z_dim, name="fc_mu", dtype=self.dtype)(h)
             sig_dim = (
                 self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
             )
             L = CholeskyL(self.z_dim, self.is_diag)(
-                nn.Dense(sig_dim, name="fc_sigma")(h)
+                nn.Dense(sig_dim, name="fc_sigma", dtype=self.dtype)(h).astype(
+                    jnp.float32
+                )
             )
-            return mu, L
+            return mu.astype(jnp.float32), L
         elif self.prior == "beta":
-            alpha = jax.nn.softplus(nn.Dense(self.z_dim, name="fc_alpha")(h)) + 1.0
-            beta = jax.nn.softplus(nn.Dense(self.z_dim, name="fc_beta")(h)) + 1.0
+            alpha = (
+                jax.nn.softplus(
+                    nn.Dense(self.z_dim, name="fc_alpha", dtype=self.dtype)(h).astype(
+                        jnp.float32
+                    )
+                )
+                + 1.0
+            )
+            beta = (
+                jax.nn.softplus(
+                    nn.Dense(self.z_dim, name="fc_beta", dtype=self.dtype)(h).astype(
+                        jnp.float32
+                    )
+                )
+                + 1.0
+            )
             return alpha, beta
         raise ValueError(f"unknown prior {self.prior!r}")
 
@@ -89,22 +111,29 @@ class ResidualDecoder(nn.Module):
     activation: str = "prelu"
     conditional_dim: int = 0
     init_dilation: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, z: Array, train: bool = True) -> Array:
         n_blocks = len(self.ch) - 1
         dil = [1] * n_blocks  # see layers.ResidualBlockTranspose note
         latent_len = encoder_lengths(self.window, self.kernel, n_blocks, dil)[-1]
-        h = nn.Dense(latent_len * self.ch[-1], name="fc_in")(z)
+        if self.dtype is not None:
+            z = z.astype(self.dtype)
+        h = nn.Dense(latent_len * self.ch[-1], name="fc_in", dtype=self.dtype)(z)
         h = h.reshape(h.shape[0], latent_len, self.ch[-1])
         for i in range(1, len(self.ch)):
             h = ResidualBlockTranspose(
-                self.ch[-i - 1], self.kernel, self.activation, dil[-i]
+                self.ch[-i - 1], self.kernel, self.activation, dil[-i],
+                dtype=self.dtype,
             )(h, train=train)
         l_out = decoder_lengths(latent_len, self.kernel, n_blocks)[-1]
         final_kernel = self.window - l_out + 7
-        h = ConvTranspose1d(self.out_channels, final_kernel, 1, 3, name="conv_out")(h)
-        return jnp.tanh(h)
+        h = ConvTranspose1d(
+            self.out_channels, final_kernel, 1, 3, name="conv_out", dtype=self.dtype
+        )(h)
+        # reconstruction feeds f32 losses (rotation asin / FK), keep f32 out
+        return jnp.tanh(h).astype(jnp.float32)
 
 
 class ResVAE(nn.Module):
@@ -127,6 +156,10 @@ class ResVAE(nn.Module):
     arena_size: Optional[tuple] = None  # ((3,), (3,)) min/max rows, static
     conditional_keys: Sequence[str] = ()
     discrete_classes: Optional[Dict[str, int]] = None  # key -> n_classes
+    precision: str = "fp32"  # "bf16": conv/dense compute in bfloat16
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.precision == "bf16" else None
 
     def setup(self):
         self.encoder = ResidualEncoder(
@@ -138,6 +171,7 @@ class ResVAE(nn.Module):
             is_diag=self.is_diag,
             prior=self.prior,
             init_dilation=self.init_dilation,
+            dtype=self._dtype(),
         )
         self.decoder = ResidualDecoder(
             out_channels=self.in_channels,
@@ -148,6 +182,7 @@ class ResVAE(nn.Module):
             activation=self.activation,
             conditional_dim=self.conditional_dim,
             init_dilation=self.init_dilation,
+            dtype=self._dtype(),
         )
 
     def _arena(self, dtype):

@@ -146,6 +146,35 @@ def inv_kin(
     return local
 
 
+def _mm3(A, B):
+    """(3, 3, N) @ (3, 3, N) -> (3, 3, N) as 27 fused elementwise FMAs.
+
+    Written out explicitly (not einsum/dot_general) so XLA lowers it to VPU
+    elementwise ops on perfectly tiled (N,)-trailing planes - tiny batched
+    3x3 matmuls would otherwise pad each matrix toward an (8, 128) tile."""
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    A[a, 0] * B[0, b] + A[a, 1] * B[1, b] + A[a, 2] * B[2, b]
+                    for b in range(3)
+                ],
+                axis=0,
+            )
+            for a in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _mv3(A, v):
+    """(3, 3, N) x (3, N or 1) -> (3, N)."""
+    return jnp.stack(
+        [A[a, 0] * v[0] + A[a, 1] * v[1] + A[a, 2] * v[2] for a in range(3)],
+        axis=0,
+    )
+
+
 def fwd_kin_cont6d(
     cont6d: Array,
     tree: KinematicTree,
@@ -159,49 +188,57 @@ def fwd_kin_cont6d(
     cont6d: (..., J, 6); offsets: (J, 3) or (..., J, 3); root_pos: (..., 3).
     Returns joint positions (..., J, 3).
 
-    Matches reference ``fwd_kin_cont6d_torch`` (dataset.py:83-116); the
-    per-chain sequential matmul loop becomes <= depth batched levels.
+    Matches reference ``fwd_kin_cont6d_torch`` (dataset.py:83-116), but in a
+    TPU-native structure-of-arrays layout: all per-joint quantities are
+    (3, 3, N) / (3, N) planes with the flattened batch N in the trailing
+    (lane) dimension, and the tree walk is unrolled over the 17 static
+    joints. No gathers, no scatters, no (..., 3, 3)-trailing tensors - this
+    is the hot differentiable op of the jpe loss (76% of the fused step
+    before this layout; see tools/attr_bench.py).
     """
-    M = qtn.cont6d_to_matrix(cont6d, eps=eps)  # (..., J, 3, 3)
+    batch_shape = cont6d.shape[:-2]
+    J = cont6d.shape[-2]
+    xs = jnp.moveaxis(cont6d.reshape((-1, J, 6)), 0, -1)  # (J, 6, N)
+    N = xs.shape[-1]
+
+    # cont6d -> rotation, column convention (qtn.cont6d_to_matrix semantics)
+    xr, yr = xs[:, 0:3], xs[:, 3:6]  # (J, 3, N)
+
+    def _unit(v):
+        return v / (jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)) + eps)
+
+    cx = _unit(xr)
+    cz = _unit(jnp.cross(cx, yr, axis=1))
+    cy = jnp.cross(cz, cx, axis=1)
+    # R[j, a, b, n]: columns are cx | cy | cz
+    R = jnp.stack([cx, cy, cz], axis=2)
+
+    # offsets to SoA
     if offsets.ndim == 2:
-        offsets = jnp.broadcast_to(offsets, cont6d.shape[:-1] + (3,))
-
-    if do_root_R:
-        root_R = M[..., 0, :, :]
+        offs = jnp.asarray(offsets, dtype=cont6d.dtype)[..., None]  # (J, 3, 1)
     else:
-        root_R = jnp.broadcast_to(
-            jnp.eye(3, dtype=cont6d.dtype), M.shape[:-3] + (3, 3)
-        )
-    Rg = jnp.concatenate(
-        [root_R[..., None, :, :], jnp.zeros_like(M[..., 1:, :, :])], axis=-3
-    )
-    pose = jnp.concatenate(
-        [root_pos[..., None, :], jnp.zeros_like(offsets[..., 1:, :])], axis=-2
-    )
+        offs = jnp.moveaxis(offsets.reshape((-1, J, 3)), 0, -1)  # (J, 3, N)
 
-    # 3x3 products are precision-sensitive and bandwidth-trivial: force full
-    # f32 accumulation regardless of the global matmul-precision default.
-    hi = jax.lax.Precision.HIGHEST
+    root_soa = jnp.moveaxis(root_pos.reshape((-1, 3)), 0, -1)  # (3, N)
+
+    Rg: list = [None] * J
+    pos: list = [None] * J
+    if do_root_R:
+        Rg[0] = R[0]
+    else:
+        eye = jnp.eye(3, dtype=cont6d.dtype)[..., None]
+        Rg[0] = jnp.broadcast_to(eye, (3, 3, N))
+    pos[0] = root_soa
+
     for level in tree.levels:
-        idx = jnp.asarray(level)
-        rp = jnp.asarray(tree.rot_parent[list(level)])
-        pp = jnp.asarray(tree.pos_parent[list(level)])
-        R_par = jnp.take(Rg, rp, axis=-3)
-        R_new = jnp.einsum(
-            "...jab,...jbc->...jac", R_par, jnp.take(M, idx, axis=-3), precision=hi
-        )
-        p_new = (
-            jnp.einsum(
-                "...jab,...jb->...ja",
-                R_new,
-                jnp.take(offsets, idx, axis=-2),
-                precision=hi,
-            )
-            + jnp.take(pose, pp, axis=-2)
-        )
-        Rg = Rg.at[..., idx, :, :].set(R_new)
-        pose = pose.at[..., idx, :].set(p_new)
-    return pose
+        for j in level:
+            rp = int(tree.rot_parent[j])
+            pp = int(tree.pos_parent[j])
+            Rg[j] = _mm3(Rg[rp], R[j])
+            pos[j] = pos[pp] + _mv3(Rg[j], offs[j])
+
+    out = jnp.stack(pos, axis=0)  # (J, 3, N)
+    return jnp.moveaxis(out, -1, 0).reshape(batch_shape + (J, 3))
 
 
 def segment_lengths(pose: Array, tree: KinematicTree) -> Array:

@@ -28,23 +28,32 @@ class MetricLogger:
             except ImportError:
                 self._wandb = None
         self.history: Dict[str, list] = {}
+        self._rows: list = []
 
     def log(self, metrics: Dict[str, float], epoch: Optional[int] = None):
         row = {"epoch": epoch, **{k: _scalar(v) for k, v in metrics.items()}}
+        self._rows.append(row)
         for k, v in row.items():
             self.history.setdefault(k, []).append(v)
-        write_header = not self.path.exists() or self._fieldnames is None
         if self._fieldnames is None:
             self._fieldnames = list(row.keys())
         extra = [k for k in row if k not in self._fieldnames]
         if extra:
+            # Schema grew (e.g. first val epoch adds *_test columns):
+            # rewrite the file with the union header instead of appending a
+            # second header row mid-file.
             self._fieldnames += extra
-            write_header = True
-        with open(self.path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
-            if write_header:
+            with open(self.path, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._fieldnames)
                 writer.writeheader()
-            writer.writerow(row)
+                writer.writerows(self._rows)
+        else:
+            new_file = not self.path.exists()
+            with open(self.path, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+                if new_file:
+                    writer.writeheader()
+                writer.writerow(row)
         if self._wandb is not None:
             self._wandb.log(metrics, step=epoch)
 

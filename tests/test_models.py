@@ -294,3 +294,33 @@ class TestTransformerVAE:
         # conditional vector = 3 (speed) + 4 (one-hot ids)
         assert out["var"].shape == (2, 7)
         assert out["x6d"].shape == (2, 16, 18, 6)
+
+
+class TestMixedPrecision:
+    def test_bf16_forward_close_to_fp32(self):
+        """bf16 compute path (precision='bf16') stays close to fp32 on the
+        same params - validates the mixed-precision wiring, not accuracy."""
+        kw = dict(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            kernel=5,
+            z_dim=8,
+            window=51,
+            arena_size=ARENA,
+        )
+        m32 = ResVAE(**kw)
+        m16 = ResVAE(precision="bf16", **kw)
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = m32.init({"params": rng}, data, rng=rng, train=False)
+        o32 = m32.apply(variables, data, rng=rng, train=False)
+        o16 = m16.apply(variables, data, rng=rng, train=False)
+        assert o16["x6d"].dtype == jnp.float32  # f32 at the loss boundary
+        assert o16["mu"].dtype == jnp.float32
+        # bf16 has ~3 decimal digits; the nets are shallow so error stays small
+        err = float(jnp.max(jnp.abs(o16["x6d"] - o32["x6d"])))
+        assert err < 0.1, err
+        corr = np.corrcoef(
+            np.asarray(o16["mu"]).ravel(), np.asarray(o32["mu"]).ravel()
+        )[0, 1]
+        assert corr > 0.99, corr
