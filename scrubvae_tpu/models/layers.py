@@ -159,10 +159,20 @@ class ConvTranspose1d(nn.Module):
 
 def upsample_linear_1d(x: Array, scale: int = 2) -> Array:
     """Linear interpolation upsample along W (torch Upsample mode='linear',
-    align_corners=False; jax.image 'linear' uses matching half-pixel
-    centers)."""
+    align_corners=False, i.e. half-pixel centers).
+
+    For the hot scale=2 case the weights are the fixed (0.75, 0.25) pair
+    with edge clamping, so it is written as elementwise blends + interleave
+    instead of jax.image.resize (which lowers to a dot + transposes on TPU).
+    """
     B, W, C = x.shape
-    return jax.image.resize(x, (B, W * scale, C), method="linear")
+    if scale != 2:
+        return jax.image.resize(x, (B, W * scale, C), method="linear")
+    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)  # x[i-1], clamped
+    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)  # x[i+1], clamped
+    even = 0.75 * x + 0.25 * prev  # out[2i]
+    odd = 0.75 * x + 0.25 * nxt  # out[2i+1]
+    return jnp.stack([even, odd], axis=2).reshape(B, 2 * W, C)
 
 
 class CholeskyL(nn.Module):
