@@ -93,6 +93,8 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool):
             "num_epochs": 1,
             "seed": 0,
             "donate": True,
+            # 1e6-clip is a no-op tripwire; skip the extra full-grad read
+            "clip_norm": 0,
         },
         "loss": {
             "rotation": 1.0,

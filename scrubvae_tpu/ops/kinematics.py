@@ -147,31 +147,26 @@ def inv_kin(
 
 
 def _mm3(A, B):
-    """(3, 3, N) @ (3, 3, N) -> (3, 3, N) as 27 fused elementwise FMAs.
+    """3x3 matrix product on plane-tuple rotations.
 
-    Written out explicitly (not einsum/dot_general) so XLA lowers it to VPU
-    elementwise ops on perfectly tiled (N,)-trailing planes - tiny batched
-    3x3 matmuls would otherwise pad each matrix toward an (8, 128) tile."""
-    return jnp.stack(
-        [
-            jnp.stack(
-                [
-                    A[a, 0] * B[0, b] + A[a, 1] * B[1, b] + A[a, 2] * B[2, b]
-                    for b in range(3)
-                ],
-                axis=0,
-            )
-            for a in range(3)
-        ],
-        axis=0,
+    A, B: nested 3x3 tuples of (N,) planes. Pure elementwise FMAs with no
+    stack/concatenate inside, so XLA fuses the whole tree walk into a few
+    large VPU fusions - tiny batched 3x3 matmuls would pad each matrix
+    toward an (8, 128) tile, and jnp.stack between joints acts as a fusion
+    barrier (measured as ~140 standalone mul ops per step)."""
+    return tuple(
+        tuple(
+            A[a][0] * B[0][b] + A[a][1] * B[1][b] + A[a][2] * B[2][b]
+            for b in range(3)
+        )
+        for a in range(3)
     )
 
 
 def _mv3(A, v):
-    """(3, 3, N) x (3, N or 1) -> (3, N)."""
-    return jnp.stack(
-        [A[a, 0] * v[0] + A[a, 1] * v[1] + A[a, 2] * v[2] for a in range(3)],
-        axis=0,
+    """Plane-tuple 3x3 rotation applied to a 3-tuple of (N,)/(1,) planes."""
+    return tuple(
+        A[a][0] * v[0] + A[a][1] * v[1] + A[a][2] * v[2] for a in range(3)
     )
 
 
@@ -201,23 +196,37 @@ def fwd_kin_cont6d(
     xs = jnp.moveaxis(cont6d.reshape((-1, J, 6)), 0, -1)  # (J, 6, N)
     N = xs.shape[-1]
 
-    # cont6d -> rotation, column convention (qtn.cont6d_to_matrix semantics)
-    xr, yr = xs[:, 0:3], xs[:, 3:6]  # (J, 3, N)
+    # cont6d -> rotation, column convention (qtn.cont6d_to_matrix
+    # semantics), held as per-joint 3x3 tuples of (N,) planes.
+    def _joint_R(j):
+        xr = [xs[j, i] for i in range(3)]
+        yr = [xs[j, 3 + i] for i in range(3)]
+        nx = jnp.sqrt(xr[0] * xr[0] + xr[1] * xr[1] + xr[2] * xr[2]) + eps
+        cx = [v / nx for v in xr]
+        zr = [
+            cx[1] * yr[2] - cx[2] * yr[1],
+            cx[2] * yr[0] - cx[0] * yr[2],
+            cx[0] * yr[1] - cx[1] * yr[0],
+        ]
+        nz = jnp.sqrt(zr[0] * zr[0] + zr[1] * zr[1] + zr[2] * zr[2]) + eps
+        cz = [v / nz for v in zr]
+        cy = [
+            cz[1] * cx[2] - cz[2] * cx[1],
+            cz[2] * cx[0] - cz[0] * cx[2],
+            cz[0] * cx[1] - cz[1] * cx[0],
+        ]
+        # rows a, columns (cx | cy | cz)
+        return tuple((cx[a], cy[a], cz[a]) for a in range(3))
 
-    def _unit(v):
-        return v / (jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)) + eps)
+    R = [_joint_R(j) for j in range(J)]
 
-    cx = _unit(xr)
-    cz = _unit(jnp.cross(cx, yr, axis=1))
-    cy = jnp.cross(cz, cx, axis=1)
-    # R[j, a, b, n]: columns are cx | cy | cz
-    R = jnp.stack([cx, cy, cz], axis=2)
-
-    # offsets to SoA
+    # offsets to per-joint 3-tuples of planes
     if offsets.ndim == 2:
-        offs = jnp.asarray(offsets, dtype=cont6d.dtype)[..., None]  # (J, 3, 1)
+        offs_arr = jnp.asarray(offsets, dtype=cont6d.dtype)
+        offs = [tuple(offs_arr[j, i][None] for i in range(3)) for j in range(J)]
     else:
-        offs = jnp.moveaxis(offsets.reshape((-1, J, 3)), 0, -1)  # (J, 3, N)
+        o = jnp.moveaxis(offsets.reshape((-1, J, 3)), 0, -1)  # (J, 3, N)
+        offs = [tuple(o[j, i] for i in range(3)) for j in range(J)]
 
     root_soa = jnp.moveaxis(root_pos.reshape((-1, 3)), 0, -1)  # (3, N)
 
@@ -226,18 +235,25 @@ def fwd_kin_cont6d(
     if do_root_R:
         Rg[0] = R[0]
     else:
-        eye = jnp.eye(3, dtype=cont6d.dtype)[..., None]
-        Rg[0] = jnp.broadcast_to(eye, (3, 3, N))
-    pos[0] = root_soa
+        one = jnp.ones((N,), dtype=cont6d.dtype)
+        zero = jnp.zeros((N,), dtype=cont6d.dtype)
+        Rg[0] = tuple(
+            tuple(one if a == b else zero for b in range(3)) for a in range(3)
+        )
+    pos[0] = (root_soa[0], root_soa[1], root_soa[2])
 
     for level in tree.levels:
         for j in level:
             rp = int(tree.rot_parent[j])
             pp = int(tree.pos_parent[j])
             Rg[j] = _mm3(Rg[rp], R[j])
-            pos[j] = pos[pp] + _mv3(Rg[j], offs[j])
+            rv = _mv3(Rg[j], offs[j])
+            pos[j] = tuple(pos[pp][i] + rv[i] for i in range(3))
 
-    out = jnp.stack(pos, axis=0)  # (J, 3, N)
+    # single stack at the very end: (J, 3, N) -> (..., J, 3)
+    out = jnp.stack(
+        [jnp.stack(jnp.broadcast_arrays(*p), axis=0) for p in pos], axis=0
+    )
     return jnp.moveaxis(out, -1, 0).reshape(batch_shape + (J, 3))
 
 

@@ -59,5 +59,8 @@ PARAM_KEYS = dict(
         "mesh",  # e.g. {"data": -1}; None = all devices on the data axis
         "seed",
         "donate",  # donate state buffers in the jitted step
+        "moment_dtype",  # "bf16" (default) | "f32" Adam first moment
+        "clip_norm",  # grad-clip max norm; 0 disables; None = 1e6 parity
+        "eval_start_epoch",  # first epoch for val metrics (reference: 50)
     ],
 )

@@ -80,5 +80,13 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     # Reference clips at max_norm=1e6 (trainer.py:164) - effectively a
-    # NaN/blowup tripwire; kept for parity.
+    # NaN/blowup tripwire; kept for parity by default. Computing the global
+    # norm re-reads every gradient (~0.3ms/step on the flagship), so
+    # train.clip_norm: null disables it.
+    # train.clip_norm: 0 disables; None/absent keeps the parity default.
+    cn = train_config.get("clip_norm")
+    if cn is not None:
+        if float(cn) <= 0:
+            return opt
+        clip_norm = float(cn)
     return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
