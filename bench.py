@@ -139,16 +139,20 @@ def main():
     rng = np.random.default_rng(0)
 
     state = trainer.state
-    # Warmup (compile)
-    for i in range(args.warmup):
-        idx = jnp.asarray(rng.integers(0, n, size=batch))
-        state, metrics = trainer.train_step(state, idx, loss_scale)
+
+    def idx_matrix(steps):
+        return jnp.asarray(
+            rng.integers(0, n, size=(steps, batch)), dtype=jnp.int32
+        )
+
+    # Measure the real training path: the device-resident scanned epoch
+    # (one dispatch per chunk of steps), as used by Trainer.train_epoch.
+    # Warmup uses the same scan length (scan length is compile-static).
+    state, metrics = trainer.train_epoch_fn(state, idx_matrix(args.steps), loss_scale)
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        idx = jnp.asarray(rng.integers(0, n, size=batch))
-        state, metrics = trainer.train_step(state, idx, loss_scale)
+    state, metrics = trainer.train_epoch_fn(state, idx_matrix(args.steps), loss_scale)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 

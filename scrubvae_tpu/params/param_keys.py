@@ -61,6 +61,7 @@ PARAM_KEYS = dict(
         "donate",  # donate state buffers in the jitted step
         "moment_dtype",  # "bf16" (default) | "f32" Adam first moment
         "clip_norm",  # grad-clip max norm; 0 disables; None = 1e6 parity
+        "scan_epoch",  # device-resident batch loop (default on)
         "eval_start_epoch",  # first epoch for val metrics (reference: 50)
     ],
 )

@@ -24,7 +24,12 @@ from scrubvae_tpu.models import scrubbers as scr
 from scrubvae_tpu.train.losses import compute_batch_loss
 from scrubvae_tpu.train.state import TrainState
 
-__all__ = ["make_train_step", "make_eval_step", "feature_slices"]
+__all__ = [
+    "make_train_step",
+    "make_train_epoch",
+    "make_eval_step",
+    "feature_slices",
+]
 
 
 def feature_slices(conditional_keys, fdims: dict) -> Dict[str, np.ndarray]:
@@ -58,6 +63,7 @@ def make_train_step(
     adv_n_iter: int = 5,
     batch_fn: Optional[Callable[[Array], Dict[str, Array]]] = None,
     donate: bool = True,
+    raw: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array], Dict[str, Array]], tuple]:
     """Build the jitted train step.
 
@@ -182,7 +188,31 @@ def make_train_step(
         metrics = {k: v for k, v in bl.items()}
         return new_state, metrics
 
+    if raw:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_epoch(model, tx, tree, *, donate: bool = True, **kwargs):
+    """Device-resident batch loop: lax.scan of the fused step over an
+    (S, B) index matrix -> one dispatch per epoch (or chunk).
+
+    The per-step host work (pytree flatten/unflatten + dispatch) costs more
+    than 25% of wall time on slow hosts - the reference pays it per batch by
+    construction (DataLoader iteration, trainer.py:126); here the whole
+    epoch is one XLA program. Returns (state, metrics averaged over steps).
+    """
+    step = make_train_step(model, tx, tree, raw=True, **kwargs)
+
+    def epoch(state: TrainState, idx_matrix, loss_scale: Dict[str, Array]):
+        def body(carry, idx):
+            new_state, metrics = step(carry, idx, loss_scale)
+            return new_state, metrics
+
+        state, stacked = jax.lax.scan(body, state, idx_matrix)
+        return state, {k: jnp.mean(v) for k, v in stacked.items()}
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(

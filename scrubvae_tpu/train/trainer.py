@@ -25,7 +25,12 @@ from scrubvae_tpu.models import scrubbers as scr
 from scrubvae_tpu.train import optim
 from scrubvae_tpu.train.losses import balance_disentangle  # noqa: F401
 from scrubvae_tpu.train.state import TrainState
-from scrubvae_tpu.train.step import feature_slices, make_eval_step, make_train_step
+from scrubvae_tpu.train.step import (
+    feature_slices,
+    make_eval_step,
+    make_train_epoch,
+    make_train_step,
+)
 from scrubvae_tpu.utils import checkpoint as ckpt
 from scrubvae_tpu.utils.logging import MetricLogger
 
@@ -118,10 +123,7 @@ class Trainer:
             adv_bundle=self.adv_bundle,
         )
         tree = self.train_ds.kinematic_tree
-        self.train_step = make_train_step(
-            self.model,
-            self.tx,
-            tree,
+        step_kwargs = dict(
             mcmi_bandwidth=float(self.dis_cfg.get("bandwidth") or 1.0),
             mcmi_var_mode=self.dis_cfg.get("var_mode") or "sphere",
             adv_fit=bool(self.dis_cfg.get("adv_fit", True)),
@@ -129,6 +131,15 @@ class Trainer:
             batch_fn=self._batch_fn(self.train_ds),
             donate=bool(self.train_cfg.get("donate", True)),
             **common,
+        )
+        self.train_step = make_train_step(self.model, self.tx, tree, **step_kwargs)
+        # Device-resident batch loop (one dispatch per epoch); opt out with
+        # train.scan_epoch: false to step batch-by-batch from the host.
+        self.use_scan_epoch = bool(self.train_cfg.get("scan_epoch", True))
+        self.train_epoch_fn = (
+            make_train_epoch(self.model, self.tx, tree, **step_kwargs)
+            if self.use_scan_epoch
+            else None
         )
         self.eval_step = (
             make_eval_step(
@@ -185,6 +196,15 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         loss_scale = self.loss_scale_for_epoch(epoch)
+        if self.use_scan_epoch:
+            n = len(self.train_ds)
+            steps = max(n // self.batch_size, 1)
+            perm = self.np_rng.permutation(n)[: steps * self.batch_size]
+            idx_matrix = jnp.asarray(perm.reshape(steps, self.batch_size))
+            self.state, metrics = self.train_epoch_fn(
+                self.state, idx_matrix, loss_scale
+            )
+            return {k: float(v) for k, v in metrics.items()}
         sums: Dict[str, float] = {}
         count = 0
         for idx in epoch_batches(len(self.train_ds), self.batch_size, self.np_rng):
@@ -192,9 +212,6 @@ class Trainer:
                 self.state, jnp.asarray(idx), loss_scale
             )
             count += 1
-            if count == 1 or count % 50 == 0:
-                # Pull metrics sparsely to avoid host sync every step
-                last = {k: float(v) for k, v in metrics.items()}
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v
         return {k: float(v) / max(count, 1) for k, v in sums.items()}

@@ -15,6 +15,13 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
+# The host image's sitecustomize force-registers the axon (TPU) backend and
+# sets jax_platforms='axon,cpu' ignoring the env var; re-assert CPU at the
+# config level so tests actually run on the host (and don't contend with
+# benchmarks for the attached chip).
+if "axon" not in os.environ.get("JAX_PLATFORMS", "cpu"):
+    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
 jax.config.update("jax_enable_x64", False)
 n_dev = int(os.environ.get("SCRUBVAE_TEST_DEVICES", "1"))
 if n_dev > 1:
