@@ -68,8 +68,9 @@ def latents(
                 rng=init_rng,
                 train=True,
             )
+            load_path = config["model"].get("load_model") or config["out_path"]
             params, batch_stats = ckpt.load_weights(
-                config["model"]["load_model"],
+                load_path,
                 epoch,
                 template["params"],
                 template.get("batch_stats"),

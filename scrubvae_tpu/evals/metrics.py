@@ -59,9 +59,19 @@ def rand_cv(func):
         met = []
         dz = z[::window]
         dy = y_true[::window]
+        # Tiny datasets (smoke runs) may downsample below the fold count.
+        folds = int(min(folds, len(dz)))
+        if folds < 2:
+            return [float("nan")]
         kf = KFold(n_splits=folds, shuffle=True, random_state=100)
         for train_i, test_i in kf.split(dz):
-            met.append(func(dz[train_i], dy[train_i], dz[test_i], dy[test_i]))
+            try:
+                met.append(func(dz[train_i], dy[train_i], dz[test_i], dy[test_i]))
+            except ValueError:
+                # degenerate fold (e.g. a class with <2 samples in a smoke
+                # run) - report nan for the fold instead of aborting the
+                # whole metric sweep
+                met.append(float("nan"))
         return met
 
     return wrapper

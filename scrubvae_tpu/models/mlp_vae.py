@@ -34,7 +34,23 @@ class MLPVAE(nn.Module):
     def _arena(self, dtype):
         return jnp.asarray(self.arena_size, dtype=dtype)
 
-    @nn.compact
+    def setup(self):
+        # Layers live in setup() (not inline in compact methods) so
+        # ``apply(method=model.encode)`` works - the MI-estimator refresh and
+        # latent extraction call encode directly.
+        self.enc_layers = [
+            nn.Dense(w, name=f"enc_{i}") for i, w in enumerate(self.hidden)
+        ]
+        self.fc_mu = nn.Dense(self.z_dim, name="fc_mu")
+        sig_dim = self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
+        self.fc_sigma = nn.Dense(sig_dim, name="fc_sigma")
+        self.cholesky = CholeskyL(self.z_dim, self.is_diag)
+        self.dec_layers = [
+            nn.Dense(w, name=f"dec_{i}")
+            for i, w in enumerate(reversed(list(self.hidden)))
+        ]
+        self.dec_out = nn.Dense(self.window * self.in_channels, name="dec_out")
+
     def __call__(self, data, rng=None, train: bool = True):
         out = self.encode(data, train=train)
         if train and rng is not None:
@@ -56,11 +72,10 @@ class MLPVAE(nn.Module):
         else:
             x_in = flat
         h = x_in.reshape(B, -1)
-        for i, width in enumerate(self.hidden):
-            h = nn.relu(nn.Dense(width, name=f"enc_{i}")(h))
-        mu = nn.Dense(self.z_dim, name="fc_mu")(h)
-        sig_dim = self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
-        L = CholeskyL(self.z_dim, self.is_diag)(nn.Dense(sig_dim, name="fc_sigma")(h))
+        for layer in self.enc_layers:
+            h = nn.relu(layer(h))
+        mu = self.fc_mu(h)
+        L = self.cholesky(self.fc_sigma(h))
         return {"mu": mu, "L": L}
 
     def build_conditionals(self, data):
@@ -86,9 +101,9 @@ class MLPVAE(nn.Module):
             z = jnp.concatenate([z, var], axis=-1)
         B = z.shape[0]
         h = z
-        for i, width in enumerate(reversed(self.hidden)):
-            h = nn.relu(nn.Dense(width, name=f"dec_{i}")(h))
-        h = nn.Dense(self.window * self.in_channels, name="dec_out")(h)
+        for layer in self.dec_layers:
+            h = nn.relu(layer(h))
+        h = self.dec_out(h)
         x_hat = jnp.tanh(h).reshape(B, self.window, self.in_channels)
         if self.arena_size is not None:
             out["root"] = inv_normalize_root(x_hat[..., -3:], self._arena(x_hat.dtype))
