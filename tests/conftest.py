@@ -11,16 +11,18 @@ in its own process.)
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on host CPU. Note the container exports
+# JAX_PLATFORMS=axon AND its sitecustomize force-registers the axon (TPU)
+# backend with jax_platforms='axon,cpu' regardless of the env var - so both
+# the env var and the config must be overridden here, unconditionally.
+# Set SCRUBVAE_TEST_TPU=1 to intentionally run tests on the attached chip.
+if not os.environ.get("SCRUBVAE_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# The host image's sitecustomize force-registers the axon (TPU) backend and
-# sets jax_platforms='axon,cpu' ignoring the env var; re-assert CPU at the
-# config level so tests actually run on the host (and don't contend with
-# benchmarks for the attached chip).
-if "axon" not in os.environ.get("JAX_PLATFORMS", "cpu"):
-    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+if not os.environ.get("SCRUBVAE_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 n_dev = int(os.environ.get("SCRUBVAE_TEST_DEVICES", "1"))
