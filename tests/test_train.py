@@ -224,3 +224,60 @@ class TestConfigReader:
         assert cfg["out_path"] == str(tmp_path) + "/"
         assert (tmp_path / "weights").is_dir()
         assert (tmp_path / "model_config.yaml").exists()
+
+
+class TestScanEpochEquivalence:
+    def test_scan_matches_per_step(self, dataset, tmp_path):
+        """The device-resident lax.scan epoch and the host per-step loop
+        produce the same final state and metrics for identical batch order
+        (both paths consume the same (S, B) index schedule)."""
+        cfg_a = base_config(tmp_path / "a")
+        cfg_b = base_config(tmp_path / "b")
+        cfg_b["train"]["scan_epoch"] = False
+
+        results = []
+        for cfg in (cfg_a, cfg_b):
+            model, info = factory.build_model(
+                cfg["model"],
+                cfg["disentangle"],
+                n_keypts=18,
+                direction_process="midfwd",
+                arena_size=ARENA,
+                discrete_classes=dataset.discrete_classes,
+            )
+            tr = Trainer(cfg, {"train": dataset}, model, info)
+            loss_scale = tr.loss_scale_for_epoch(1)
+            n = len(dataset)
+            steps = 3
+            idx = np.arange(steps * 16).reshape(steps, 16) % n
+            if tr.use_scan_epoch:
+                state, metrics = tr.train_epoch_fn(
+                    tr.state, jnp.asarray(idx), loss_scale
+                )
+                m = {k: float(v) for k, v in metrics.items()}
+            else:
+                state = tr.state
+                sums = {}
+                for row in idx:
+                    state, metrics = tr.train_step(
+                        state, jnp.asarray(row), loss_scale
+                    )
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                m = {k: v / steps for k, v in sums.items()}
+            results.append((state, m))
+
+        (sa, ma), (sb, mb) = results
+        assert set(ma) == set(mb)
+        for k in ma:
+            np.testing.assert_allclose(ma[k], mb[k], rtol=2e-4, err_msg=k)
+        la = jax.tree.leaves(sa.params)
+        lb = jax.tree.leaves(sb.params)
+        # scan and unrolled compilations fuse differently; Adam's rsqrt
+        # amplifies f32 reassociation noise (observed ~3e-4 worst-case on
+        # CPU). A real threading/order bug diverges by orders of magnitude
+        # more after 3 steps.
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+            )
