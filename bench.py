@@ -125,7 +125,9 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--window", type=int, default=51)
     ap.add_argument("--z_dim", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=30)
+    # one scanned-epoch call; large enough that the ~60ms per-dispatch
+    # host overhead is amortized as in real epochs (hundreds of steps)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--small", action="store_true", help="tiny model (CPU smoke)")
     args = ap.parse_args()
