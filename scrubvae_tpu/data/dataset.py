@@ -60,7 +60,12 @@ class WindowDataset:
 
 @dataclasses.dataclass
 class StreamDataset:
-    """FrameStore-backed dataset; batches assemble on device."""
+    """FrameStore-backed dataset; batches assemble on device.
+
+    ``extras``: per-window (N, ...) arrays that aren't frame gathers —
+    e.g. the parkinsons ``pd_label``/``fluorescence`` columns derived from
+    animal metadata (reference get/data.py:74-93) — merged into every batch
+    with the same index gather as the assembled windows."""
 
     store: FrameStore
     skeleton: Skeleton
@@ -69,6 +74,7 @@ class StreamDataset:
     arena_size: Optional[np.ndarray]
     label: str = "train"
     discrete_classes: Optional[Dict[str, np.ndarray]] = None
+    extras: Optional[Dict[str, Array]] = None
 
     def __len__(self) -> int:
         return self.store.n_windows
@@ -89,13 +95,17 @@ class StreamDataset:
         """Assemble the windows whose dataset indices are ``idx``. Traceable:
         call inside jit for full fusion with the train step."""
         starts = jnp.take(self.store.starts, idx, axis=0)
-        return assemble_windows(
+        out = assemble_windows(
             self.store,
             self.skeleton.tree,
             starts,
-            tuple(self.data_keys),
+            tuple(k for k in self.data_keys if k not in (self.extras or {})),
             self.direction_process,
         )
+        for k, v in (self.extras or {}).items():
+            if k in self.data_keys:
+                out[k] = jnp.take(v, idx, axis=0)
+        return out
 
 
 def epoch_batches(

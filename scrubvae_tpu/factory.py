@@ -13,6 +13,7 @@ from pathlib import Path
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from scrubvae_tpu.data.dataset import StreamDataset, WindowDataset
@@ -214,15 +215,25 @@ def init_scrub_state(
 # ---------------------------------------------------------------------------
 
 
-def _discrete_classes_for(data, dataset_name: str, data_keys) -> dict:
-    """Discrete-class maps incl. the parkinsons id/pd_label recoding
-    (reference get/data.py:73-95)."""
+def _discrete_classes_for(
+    data, dataset_name: str, data_keys, data_path: Optional[Path] = None
+) -> dict:
+    """Discrete-class maps incl. the parkinsons id/pd_label recoding and the
+    per-animal fluorescence lookup from metadata.csv (reference
+    get/data.py:73-95). Mutates ``data`` in place; fluorescence and pd_label
+    are derived from the *raw* ids before the >=36 recode."""
     discrete = {}
     ids = np.asarray(data["ids"])
     if dataset_name == "parkinsons":
         if "pd_label" in data_keys:
             data["pd_label"] = (ids >= 36).astype(np.int64)[:, None]
             discrete["pd_label"] = np.unique(data["pd_label"])
+        if "fluorescence" in data_keys and data_path is not None:
+            import pandas as pd
+
+            meta = pd.read_csv(Path(data_path) / dataset_name / "metadata.csv")
+            fluor = meta["Fluorescence"].to_numpy()[ids]
+            data["fluorescence"] = fluor.astype(np.float32)[:, None]
         ids = np.where(ids >= 36, ids - 36, ids)
         data["ids"] = ids
         discrete["ids"] = np.arange(len(np.unique(ids)))
@@ -268,12 +279,21 @@ def mouse_data(
         store = build_frame_store(
             pose, ids, skeleton, window=window, stride=stride, speed_threshold=thresh
         )
-        data_for_classes = {"ids": np.asarray(store.mid_ids)}
-        discrete = _discrete_classes_for(data_for_classes, dataset_name, data_keys)
+        per_window = {"ids": np.asarray(store.mid_ids)}
+        discrete = _discrete_classes_for(
+            per_window, dataset_name, data_keys, data_path=data_path
+        )
+        # recoded ids + metadata-derived columns ride as per-window extras;
+        # everything frame-shaped assembles on device.
+        extras = {
+            k: jnp.asarray(v)
+            for k, v in per_window.items()
+            if k == "ids" or k in data_keys
+        }
         ds = StreamDataset(
             store=store,
             skeleton=skeleton,
-            data_keys=tuple(k for k in data_keys if k not in ("pd_label", "fluorescence")),
+            data_keys=tuple(data_keys),
             direction_process=data_config.get("direction_process") or "midfwd",
             arena_size=(
                 np.asarray(data_config["arena_size"], dtype=np.float32)
@@ -282,6 +302,7 @@ def mouse_data(
             ),
             label=train_val_test,
             discrete_classes=discrete,
+            extras=extras,
         )
         return ds
 
@@ -309,7 +330,9 @@ def mouse_data(
             data["avg_speed_3d"] - norm_params["avg_speed_3d"]["mean"]
         ) / norm_params["avg_speed_3d"]["std"]
 
-    discrete = _discrete_classes_for(data, dataset_name, data_keys)
+    discrete = _discrete_classes_for(
+        data, dataset_name, data_keys, data_path=data_path
+    )
     return WindowDataset(
         data=data,
         arena_size=(

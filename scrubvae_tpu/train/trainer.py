@@ -58,7 +58,8 @@ class Trainer:
         self.train_cfg = config["train"]
         self.out_path = config.get("out_path", "./")
         self.seed = int(self.train_cfg.get("seed") or 0)
-        self.eval_start_epoch = int(self.train_cfg.get("eval_start_epoch") or 50)
+        _ese = self.train_cfg.get("eval_start_epoch")
+        self.eval_start_epoch = 50 if _ese is None else int(_ese)
 
         n = len(self.train_ds)
         self.steps_per_epoch = max(n // self.batch_size, 1)

@@ -159,3 +159,60 @@ class TestBatching:
         b = ds.batch(jnp.arange(4))
         assert set(b) == {"x6d", "root", "offsets", "target_pose", "heading", "ids"}
         assert b["x6d"].shape == (4, 21, 18, 6)
+
+
+class TestParkinsonsDataPath:
+    """Parkinsons metadata handling parity (reference get/data.py:73-95):
+    pd_label derived from raw id >= 36, fluorescence looked up per animal
+    from metadata.csv, ids recoded mod 36 — all before batching."""
+
+    def _make_layout(self, tmp_path):
+        import shutil
+
+        from scrubvae_tpu.data.pose_io import write_pose_h5
+
+        shutil.copy("configs/mouse_skeleton.yaml", tmp_path / "mouse_skeleton.yaml")
+        # two animals: raw ids 0 (healthy) and 36 (PD-recoded to 0)
+        pose0, _ = synthetic_pose_stream(SKEL, n_frames=80, n_ids=1, seed=7)
+        pose1, _ = synthetic_pose_stream(SKEL, n_frames=80, n_ids=1, seed=8)
+        pose = np.concatenate([pose0, pose1])
+        ids = np.asarray([0] * 80 + [36] * 80)
+        write_pose_h5(tmp_path / "parkinsons" / "train" / "pose.h5", pose, ids)
+        fluor = np.zeros(37, dtype=np.float32)
+        fluor[0], fluor[36] = 1.5, 7.25
+        lines = ["Subject,Fluorescence"] + [
+            f"{i},{fluor[i]}" for i in range(37)
+        ]
+        (tmp_path / "parkinsons" / "metadata.csv").write_text("\n".join(lines))
+        return fluor
+
+    def test_pd_label_fluorescence_and_id_recode(self, tmp_path):
+        from scrubvae_tpu import factory
+
+        fluor = self._make_layout(tmp_path)
+        ds = factory.mouse_data(
+            {
+                "data_path": str(tmp_path) + "/",
+                "dataset": "parkinsons",
+                "direction_process": "midfwd",
+                "arena_size": [[-300, -300, 0], [300, 300, 100]],
+                "remove_speed_outliers": False,
+            },
+            train_val_test="train",
+            data_keys=["x6d", "root", "offsets", "pd_label", "fluorescence"],
+            window=21,
+            stride=3,
+        )
+        b = ds.batch(jnp.arange(len(ds)))
+        raw_mid = np.asarray(ds.store.mid_ids)
+        assert set(np.unique(raw_mid)) == {0, 36}
+        np.testing.assert_array_equal(
+            np.asarray(b["pd_label"]).ravel(), (raw_mid >= 36).astype(int)
+        )
+        np.testing.assert_allclose(
+            np.asarray(b["fluorescence"]).ravel(), fluor[raw_mid]
+        )
+        # ids recoded: both animals collapse to class 0
+        np.testing.assert_array_equal(np.asarray(b["ids"]), np.zeros(len(ds)))
+        assert set(ds.discrete_classes) == {"pd_label", "ids"}
+        assert b["x6d"].shape[1:] == (21, 18, 6)
