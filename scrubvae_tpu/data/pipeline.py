@@ -50,7 +50,15 @@ AVG_SPEED_3D_STD = (0.4038, 0.3586, 0.4169)
 
 @dataclasses.dataclass
 class FrameStore:
-    """HBM-resident per-frame arrays + window start indices."""
+    """HBM-resident per-frame arrays + window start indices.
+
+    ``x6d`` / ``tpose`` are optional per-frame precomputes: the cont6d
+    representation and the zero-root forward kinematics are window-independent
+    except for the mid-frame yaw alignment, which acts as (a) a quaternion
+    pre-multiply on the root row and (b) a rigid rotation of the FK pose —
+    both exact algebra, applied per window after the gather. Precomputing
+    them removes the per-step FK + full cont6d conversion from the train
+    step (~650B/frame of extra HBM)."""
 
     pose: Array  # (T, J, 3) raw pose
     local_quat: Array  # (T, J, 4) per-frame IK
@@ -61,6 +69,8 @@ class FrameStore:
     window: int
     mid_ids: Array  # (N,) id at window mid frame
     norm_params: Dict[str, Dict[str, Array]]
+    x6d: Optional[Array] = None  # (T, J, 6) cont6d of local_quat
+    tpose: Optional[Array] = None  # (T, J, 3) zero-root FK per frame
 
     @property
     def n_windows(self) -> int:
@@ -75,11 +85,13 @@ def build_frame_store(
     stride: int = 2,
     speed_threshold: Optional[float] = 2.25,
     norm_params: Optional[dict] = None,
+    precompute: bool = True,
 ) -> FrameStore:
     """Per-frame preprocessing + window index build.
 
     Mirrors the front half of reference preprocess_save_data
-    (dataset.py:313-454) with IK at frame granularity.
+    (dataset.py:313-454) with IK at frame granularity. ``precompute``
+    additionally stores per-frame cont6d + zero-root FK (see FrameStore).
     """
     tree = skeleton.tree
     starts = window_starts(ids, stride, window)
@@ -94,9 +106,20 @@ def build_frame_store(
         local_q = kin.inv_kin(p, tree, forward_indices=[1, 0])
         offs = kin.segment_lengths(p, tree)
         yaw = kin.frame_yaw(p, 0, 1)
-        return local_q, offs, yaw
+        extra = {}
+        if precompute:
+            extra["x6d"] = qtn.quaternion_to_cont6d(local_q)
+            extra["tpose"] = kin.fwd_kin_cont6d(
+                extra["x6d"],
+                tree,
+                offs,
+                root_pos=jnp.zeros(p.shape[:-2] + (3,), dtype=p.dtype),
+                do_root_R=True,
+                eps=1e-8,
+            )
+        return local_q, offs, yaw, extra
 
-    local_quat, offsets, yaw = per_frame(pose_j)
+    local_quat, offsets, yaw, extra = per_frame(pose_j)
 
     if norm_params is None:
         norm_params = {
@@ -119,6 +142,8 @@ def build_frame_store(
         window=window,
         mid_ids=mid_ids,
         norm_params=norm_params,
+        x6d=extra.get("x6d"),
+        tpose=extra.get("tpose"),
     )
 
 
@@ -167,17 +192,31 @@ def assemble_windows(
             center = center.at[:, 2].set(0.0)  # only xy centering
             root = root - center[:, None, :]
 
-        local_q = jnp.take(store.local_quat, fidx, axis=0)  # (B, W, J, 4)
-        if direction_process == "midfwd":
-            fwd_q = qtn.yaw_quat(yaw_mid)[:, None, :]  # (B, 1, 4)
-            root_q = qtn.qmul(
-                jnp.broadcast_to(fwd_q, local_q[..., 0, :].shape),
-                local_q[..., 0, :],
-            )
-            local_q = local_q.at[..., 0, :].set(root_q)
+        midfwd = direction_process == "midfwd"
+        fwd_q = qtn.yaw_quat(yaw_mid)[:, None, :] if midfwd else None  # (B,1,4)
+        if midfwd:
             root = qtn.qrot(jnp.broadcast_to(fwd_q, root.shape[:-1] + (4,)), root)
 
-        x6d = qtn.quaternion_to_cont6d(local_q)
+        if store.x6d is not None:
+            # Fast path: per-frame cont6d gathered from HBM; only the root
+            # row depends on the window (fwd_q premultiply = exact algebra).
+            x6d = jnp.take(store.x6d, fidx, axis=0)  # (B, W, J, 6)
+            if midfwd:
+                root_lq = jnp.take(store.local_quat[:, 0, :], fidx, axis=0)
+                root_q = qtn.qmul(
+                    jnp.broadcast_to(fwd_q, root_lq.shape), root_lq
+                )
+                x6d = x6d.at[..., 0, :].set(qtn.quaternion_to_cont6d(root_q))
+        else:
+            local_q = jnp.take(store.local_quat, fidx, axis=0)  # (B, W, J, 4)
+            if midfwd:
+                root_q = qtn.qmul(
+                    jnp.broadcast_to(fwd_q, local_q[..., 0, :].shape),
+                    local_q[..., 0, :],
+                )
+                local_q = local_q.at[..., 0, :].set(root_q)
+            x6d = qtn.quaternion_to_cont6d(local_q)
+
         if "x6d" in data_keys:
             out["x6d"] = x6d
         if "root" in data_keys:
@@ -190,14 +229,26 @@ def assemble_windows(
         if "target_pose" in data_keys:
             B = x6d.shape[0]
             J = x6d.shape[2]
-            out["target_pose"] = kin.fwd_kin_cont6d(
-                x6d.reshape(-1, J, 6),
-                tree,
-                offs.reshape(-1, J, 3),
-                root_pos=jnp.zeros((B * W, 3), dtype=x6d.dtype),
-                do_root_R=True,
-                eps=1e-8,
-            ).reshape(B, W, J, 3)
+            if store.tpose is not None:
+                # Zero-root FK is window-independent up to the rigid fwd_q
+                # rotation (root translation is zero, so the yaw alignment
+                # rotates every joint position identically).
+                tp = jnp.take(store.tpose, fidx, axis=0)  # (B, W, J, 3)
+                if midfwd:
+                    tp = qtn.qrot(
+                        jnp.broadcast_to(fwd_q[:, :, None, :], tp.shape[:-1] + (4,)),
+                        tp,
+                    )
+                out["target_pose"] = tp
+            else:
+                out["target_pose"] = kin.fwd_kin_cont6d(
+                    x6d.reshape(-1, J, 6),
+                    tree,
+                    offs.reshape(-1, J, 3),
+                    root_pos=jnp.zeros((B * W, 3), dtype=x6d.dtype),
+                    do_root_R=True,
+                    eps=1e-8,
+                ).reshape(B, W, J, 3)
     elif "offsets" in data_keys:
         out["offsets"] = jnp.take(store.offsets, fidx, axis=0)
 

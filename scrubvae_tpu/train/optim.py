@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -18,7 +19,62 @@ __all__ = [
     "cyclical_beta",
     "make_lr_schedule",
     "make_optimizer",
+    "scale_by_adam_lowp",
 ]
+
+
+def scale_by_adam_lowp(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=jnp.bfloat16,
+    nu_dtype=jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """Adam scaling with reduced-precision moment storage.
+
+    Both EMAs are *accumulated* in float32 and *stored* in ``mu_dtype`` /
+    ``nu_dtype``. bf16's ~3 significant digits are ample for smoothing
+    EMAs, and the storage dtype sets the HBM bill: the AdamW update of the
+    fc_sigma head (a 4096x8256 matrix, ~70% of flagship params) is the
+    hottest single op of the train step and is pure bandwidth — f32 mu+nu
+    cost ~540MB of read+write there, bf16 halves it.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mu_dtype), params),
+            nu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=nu_dtype), params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(
+            lambda g, m: (b1 * m.astype(jnp.float32) + (1.0 - b1) * g).astype(
+                mu_dtype
+            ),
+            updates,
+            state.mu,
+        )
+        nu = jax.tree.map(
+            lambda g, v: (
+                b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
+            ).astype(nu_dtype),
+            updates,
+            state.nu,
+        )
+        b1c = 1.0 - b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m.astype(jnp.float32) / b1c)
+            / (jnp.sqrt(v.astype(jnp.float32) / b2c) + eps),
+            mu,
+            nu,
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def cyclical_beta(
@@ -62,19 +118,21 @@ def make_optimizer(
         steps_per_epoch,
     )
     name = train_config.get("optimizer") or "adam"
-    # First moment in bf16: Adam's mu is smoothing-only, bf16 is ample; it
-    # cuts optimizer HBM traffic by a third (the AdamW update on the
-    # fc_sigma matrix is the single hottest op of the flagship step - see
-    # tools/parse_trace.py). Opt out with train.moment_dtype: f32.
-    mu_dtype = (
-        jnp.bfloat16
-        if (train_config.get("moment_dtype") or "bf16") == "bf16"
-        else None
-    )
-    if name == "adam":
-        opt = optax.adam(lr, mu_dtype=mu_dtype)
-    elif name == "adamw":
-        opt = optax.adamw(lr, mu_dtype=mu_dtype)
+    # Moments stored in bf16 (accumulated in f32): Adam's mu/nu are
+    # smoothing EMAs, bf16 is ample; it halves optimizer HBM traffic (the
+    # AdamW update on the fc_sigma matrix is the single hottest op of the
+    # flagship step - see tools/parse_trace.py). Opt out with
+    # train.moment_dtype: f32.
+    lowp = (train_config.get("moment_dtype") or "bf16") == "bf16"
+    m_dtype = jnp.bfloat16 if lowp else jnp.float32
+    if name in ("adam", "adamw"):
+        parts = [scale_by_adam_lowp(mu_dtype=m_dtype, nu_dtype=m_dtype)]
+        if name == "adamw":
+            # torch.optim.AdamW default weight_decay (reference
+            # trainer.py:65 uses torch defaults)
+            parts.append(optax.add_decayed_weights(0.01))
+        parts.append(optax.scale_by_learning_rate(lr))
+        opt = optax.chain(*parts)
     elif name == "sgd":
         opt = optax.sgd(lr, momentum=0.2, nesterov=True)
     else:

@@ -216,3 +216,29 @@ class TestParkinsonsDataPath:
         np.testing.assert_array_equal(np.asarray(b["ids"]), np.zeros(len(ds)))
         assert set(ds.discrete_classes) == {"pd_label", "ids"}
         assert b["x6d"].shape[1:] == (21, 18, 6)
+
+
+class TestPrecomputeParity:
+    """The per-frame x6d/FK precompute path must equal the per-window
+    recompute path exactly (the yaw alignment is exact algebra: quaternion
+    premultiply on the root row, rigid rotation of the zero-root FK)."""
+
+    def test_fast_path_matches_recompute(self):
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=160, n_ids=2, seed=9)
+        keys = ("x6d", "root", "offsets", "target_pose", "heading")
+        for dp in ("midfwd", "x360"):
+            fast = build_frame_store(
+                pose, ids, SKEL, window=21, stride=3, speed_threshold=None,
+                precompute=True,
+            )
+            slow = build_frame_store(
+                pose, ids, SKEL, window=21, stride=3, speed_threshold=None,
+                precompute=False,
+            )
+            assert fast.x6d is not None and slow.x6d is None
+            a = materialize(fast, SKEL.tree, keys, dp)
+            b = materialize(slow, SKEL.tree, keys, dp)
+            for k in keys:
+                np.testing.assert_allclose(
+                    a[k], b[k], atol=2e-5, err_msg=f"{dp}/{k}"
+                )

@@ -234,6 +234,12 @@ class TestScanEpochEquivalence:
         cfg_a = base_config(tmp_path / "a")
         cfg_b = base_config(tmp_path / "b")
         cfg_b["train"]["scan_epoch"] = False
+        # f32 moments: bf16-stored Adam EMAs quantize the (legitimate)
+        # scan-vs-unrolled fusion noise differently per path, which the
+        # rsqrt amplifies on near-zero params; the equivalence under test
+        # is index-schedule threading, not moment storage.
+        cfg_a["train"]["moment_dtype"] = "f32"
+        cfg_b["train"]["moment_dtype"] = "f32"
 
         results = []
         for cfg in (cfg_a, cfg_b):
@@ -281,3 +287,84 @@ class TestScanEpochEquivalence:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
             )
+
+
+class TestLowPrecisionAdam:
+    """scale_by_adam_lowp: f32 storage matches optax exactly; bf16 storage
+    tracks it closely (the default flagship configuration)."""
+
+    def _run(self, tx, steps=20, seed=0):
+        import optax as _optax
+
+        from scrubvae_tpu.train import optim as _optim
+
+        rng = np.random.default_rng(seed)
+        params = {
+            "w": jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(6,)).astype(np.float32)),
+        }
+        state = tx.init(params)
+        for i in range(steps):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32)
+                ),
+                params,
+            )
+            updates, state = tx.update(grads, state, params)
+            params = _optax.apply_updates(params, updates)
+        return params
+
+    def test_f32_matches_optax_adam(self):
+        import optax
+
+        from scrubvae_tpu.train.optim import scale_by_adam_lowp
+
+        ours = optax.chain(
+            scale_by_adam_lowp(mu_dtype=jnp.float32, nu_dtype=jnp.float32),
+            optax.scale_by_learning_rate(1e-2),
+        )
+        ref = optax.adam(1e-2)
+        p1 = self._run(ours)
+        p2 = self._run(ref)
+        for k in p1:
+            np.testing.assert_allclose(p1[k], p2[k], rtol=1e-6, atol=1e-7)
+
+    def test_bf16_storage_tracks_f32(self):
+        import optax
+
+        from scrubvae_tpu.train.optim import scale_by_adam_lowp
+
+        lowp = optax.chain(
+            scale_by_adam_lowp(), optax.scale_by_learning_rate(1e-2)
+        )
+        full = optax.chain(
+            scale_by_adam_lowp(mu_dtype=jnp.float32, nu_dtype=jnp.float32),
+            optax.scale_by_learning_rate(1e-2),
+        )
+        p1 = self._run(lowp, steps=50)
+        p2 = self._run(full, steps=50)
+        for k in p1:
+            np.testing.assert_allclose(p1[k], p2[k], rtol=0.05, atol=0.05)
+
+    def test_adamw_uses_torch_default_weight_decay(self):
+        """Pure-decay check: with zero gradients after warmup, adamw shrinks
+        weights by lr*0.01 per step (torch AdamW default, reference
+        trainer.py:65)."""
+        from scrubvae_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(
+            {"lr": 0.1, "optimizer": "adamw", "lr_schedule": None,
+             "clip_norm": 0},
+            steps_per_epoch=1,
+        )
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        import optax
+
+        zero = {"w": jnp.zeros((4,))}
+        updates, state = tx.update(zero, state, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(new["w"]), 1.0 - 0.1 * 0.01, rtol=1e-5
+        )
