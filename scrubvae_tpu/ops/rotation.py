@@ -35,6 +35,7 @@ __all__ = [
     "quaternion_multiply",
     "quaternion_invert",
     "quaternion_apply",
+    "canonicalize_smplh",
 ]
 
 
@@ -250,3 +251,30 @@ def rotation_6d_to_matrix(d6: Array) -> Array:
 def matrix_to_rotation_6d(matrix: Array) -> Array:
     """First two rows of the rotation matrix, flattened."""
     return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
+
+
+def canonicalize_smplh(poses: Array, trans: Array | None = None):
+    """Canonicalize SMPL-H-style rotation sequences against the first frame.
+
+    API parity with reference rotation_conversion.py:506-531 (unused by the
+    reference's main training path but part of its public surface): rotate
+    every frame's global orientation by the inverse-free re-composition of
+    frame 0's axis-angle (so sequences start from a canonical heading), and
+    optionally re-integrate the translation velocity in the rotated frame,
+    starting from the origin.
+
+    poses: (B, T, J, 3, 3) rotation matrices; trans: (B, T, 3).
+    """
+    global_orient = poses[:, :, 0]  # (B, T, 3, 3)
+    rot2d = axis_angle_to_matrix(matrix_to_axis_angle(global_orient[:, 0]))
+    # einsum("ikj,imkl->imjl"): R0^T @ R_t per frame
+    global_orient = jnp.einsum("ikj,imkl->imjl", rot2d, global_orient)
+    xc = jnp.concatenate([global_orient[:, :, None], poses[:, :, 1:]], axis=2)
+    if trans is None:
+        return xc
+    vel = trans[:, 1:] - trans[:, :-1]
+    vel = jnp.einsum("ikj,ilk->ilj", rot2d, vel)
+    trans_c = jnp.concatenate(
+        [jnp.zeros_like(trans[:, :1]), jnp.cumsum(vel, axis=1)], axis=1
+    )
+    return xc, trans_c

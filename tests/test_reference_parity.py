@@ -201,6 +201,19 @@ class TestRotationConversionParity:
                 msg=conv,
             )
 
+    def test_canonicalize_smplh(self, ref):
+        rng = np.random.default_rng(16)
+        B, T, J = 2, 6, 5
+        aa = (rng.normal(size=(B, T, J, 3)) * 0.5).astype(np.float32)
+        poses = np.asarray(rot.axis_angle_to_matrix(jnp.asarray(aa)))
+        trans = rng.normal(size=(B, T, 3)).astype(np.float32)
+        xc_ours, tr_ours = rot.canonicalize_smplh(
+            jnp.asarray(poses), jnp.asarray(trans)
+        )
+        xc_ref, tr_ref = ref.rc.canonicalize_smplh(t(poses), t(trans))
+        allclose(xc_ours, xc_ref, rtol=1e-3, atol=1e-4)
+        allclose(tr_ours, tr_ref, rtol=1e-3, atol=1e-4)
+
     def test_axis_angle(self, ref):
         rng = np.random.default_rng(8)
         aa = (rng.normal(size=(32, 3)) * 0.8).astype(np.float32)

@@ -1,0 +1,172 @@
+"""Run the BASELINE.json config ladder end-to-end and record the measured
+operating point (losses, scrub metrics, throughput) into PARITY.md.
+
+The reference publishes no quantitative numbers and its CUDA-only PyTorch
+implementation cannot run on this host (BASELINE.md), so the parity baseline
+is *measured* from this framework's own runs of the five-config ladder on a
+fixed synthetic dataset; quality metrics are the ones the reference computes
+(train/test losses, generative-restrictiveness R^2, CV decodability).
+
+Usage: python tools/run_ladder.py [--epochs 55] [--out /tmp/ladder_runs]
+       [--configs 1 2 3 4 5] [--frames 24000]
+"""
+
+import argparse
+import csv
+import json
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+HERE = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(HERE))
+
+
+def gen_data(data_path: pathlib.Path, frames: int):
+    from scrubvae_tpu.data.pose_io import write_pose_h5
+    from scrubvae_tpu.data.skeleton import load_skeleton
+    from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+
+    skel = load_skeleton(HERE / "configs" / "mouse_skeleton.yaml")
+    data_path.mkdir(parents=True, exist_ok=True)
+    shutil.copy(
+        HERE / "configs" / "mouse_skeleton.yaml", data_path / "mouse_skeleton.yaml"
+    )
+    for split, seed, n in (("train", 0, frames), ("val", 1, frames // 3)):
+        d = data_path / "synthetic" / split
+        d.mkdir(parents=True, exist_ok=True)
+        if (d / "pose.h5").exists():
+            continue
+        pose, ids = synthetic_pose_stream(skel, n_frames=n, n_ids=4, seed=seed)
+        write_pose_h5(d / "pose.h5", pose, ids)
+        print(f"wrote {d}/pose.h5 ({n} frames)")
+
+
+def run_config(cfg_path: pathlib.Path, out_root: pathlib.Path, epochs: int):
+    import yaml
+
+    name = cfg_path.stem
+    run_dir = out_root / "ladder" / name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["train"]["num_epochs"] = epochs
+    cfg["train"]["eval_start_epoch"] = min(
+        int(cfg["train"].get("eval_start_epoch") or 50), epochs - epochs % 5 or 5
+    )
+    cfg["out_path"] = "current"
+    (run_dir / "model_config.yaml").write_text(yaml.safe_dump(cfg))
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(HERE / "train_model.py"),
+            "-o",
+            str(out_root),
+            "-p",
+            "ladder",
+            "-n",
+            name,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-4000:])
+        raise RuntimeError(f"{name} failed (rc {proc.returncode})")
+
+    rows = list(csv.DictReader(open(run_dir / "metrics.csv")))
+    last = rows[-1]
+    # the last row that carried eval metrics (epoch % 5 == 0 >= eval start)
+    eval_row = next(
+        (r for r in reversed(rows) if any(k.endswith("_test") and r.get(k) for k in r)),
+        None,
+    )
+    sel = {"config": name, "epochs": epochs, "wall_s": round(wall, 1)}
+    for k in ("total_train", "rotation_train", "jpe_train", "root_train",
+              "prior_train", "mcmi_train", "time"):
+        if last.get(k):
+            sel[k] = float(last[k])
+    if eval_row:
+        for k, v in eval_row.items():
+            if v and (
+                k.endswith("_test") or k.startswith("r2_") or k.startswith("acc_")
+            ):
+                sel[k] = float(v)
+    return sel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=55)
+    ap.add_argument("--out", default="/tmp/ladder_runs")
+    ap.add_argument("--data", default="/tmp/scrubvae_data")
+    ap.add_argument("--frames", type=int, default=24000)
+    ap.add_argument("--configs", nargs="*", default=["1", "2", "3", "4", "5"])
+    args = ap.parse_args()
+
+    data_path = pathlib.Path(args.data)
+    gen_data(data_path, args.frames)
+    out_root = pathlib.Path(args.out)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    results = []
+    for cfg_path in sorted((HERE / "configs" / "ladder").glob("*.yaml")):
+        if cfg_path.stem[0] not in args.configs:
+            continue
+        print(f"=== {cfg_path.stem} ===", flush=True)
+        try:
+            results.append(run_config(cfg_path, out_root, args.epochs))
+        except Exception as e:  # keep going; record the failure
+            results.append({"config": cfg_path.stem, "error": str(e)[:300]})
+        print(json.dumps(results[-1]), flush=True)
+        (out_root / "ladder_results.json").write_text(json.dumps(results, indent=1))
+
+    write_parity_md(results, args)
+
+
+def write_parity_md(results, args):
+    import jax
+
+    plat = jax.devices()[0].platform
+    lines = [
+        "# PARITY — measured operating point of the config ladder",
+        "",
+        "The reference publishes no benchmark numbers and its CUDA-only",
+        "implementation cannot run on this host (BASELINE.md), so the quality",
+        "baseline is **measured** from this framework's runs of the",
+        "BASELINE.json five-config ladder (`configs/ladder/`) on a fixed",
+        f"synthetic pose stream ({args.frames} train frames, 4 ids, seed 0),",
+        f"{args.epochs} epochs each, via the real CLI "
+        "(`python train_model.py -o ... -p ladder -n <config>`).",
+        "",
+        f"Platform: `{plat}` ({jax.devices()[0].device_kind});"
+        f" metrics are the reference's own (SURVEY.md §6).",
+        "",
+    ]
+    all_keys = []
+    for r in results:
+        for k in r:
+            if k not in all_keys:
+                all_keys.append(k)
+    lines.append("| " + " | ".join(all_keys) + " |")
+    lines.append("|" + "---|" * len(all_keys))
+    for r in results:
+        cells = []
+        for k in all_keys:
+            v = r.get(k, "")
+            cells.append(f"{v:.4g}" if isinstance(v, float) else str(v))
+        lines.append("| " + " | ".join(cells) + " |")
+    lines.append("")
+    out = pathlib.Path(__file__).parent.parent / "PARITY.md"
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
