@@ -28,6 +28,7 @@ __all__ = [
     "make_train_step",
     "make_train_epoch",
     "make_eval_step",
+    "make_eval_epoch",
     "feature_slices",
 ]
 
@@ -255,3 +256,87 @@ def make_eval_step(
         return bl, out["mu"]
 
     return jax.jit(step)
+
+
+def make_eval_epoch(
+    model,
+    tree,
+    *,
+    gen_restrict_keys: Tuple[str, ...] = (),
+    norm_params: Optional[dict] = None,
+    batch_fn: Callable[[Array], Dict[str, Array]] = None,
+    **eval_kwargs,
+):
+    """Device-resident validation epoch: lax.scan of (eval losses + latent
+    collection + generative-restrictiveness decodes) over an (S, B) index
+    matrix -> ONE dispatch per validation epoch.
+
+    The reference pays three host round-trips per val batch (forward, then
+    one decode per conditioned factor, trainer.py:254-289); on a tunneled
+    TPU each dispatch costs ~60ms, making small-batch validation
+    dispatch-bound. Returns (metrics_mean, mu (S*B, z), gen_restrict)
+    where gen_restrict[key] = (pred (S*B, d), target (S*B, d)).
+    """
+    from scrubvae_tpu.evals.restrictiveness import (
+        generative_restrictiveness_batch,
+    )
+
+    disentangle_config = eval_kwargs.get("disentangle_config", {})
+    loss_keys = eval_kwargs.get("loss_keys", ())
+    disentangle_keys = eval_kwargs.get("disentangle_keys", ())
+    conditional_keys = eval_kwargs.get("conditional_keys", ())
+    feat_slices = eval_kwargs.get("feat_slices")
+    adv_bundle = eval_kwargs.get("adv_bundle")
+    del loss_keys
+
+    def epoch(state: TrainState, idx_matrix, loss_scale, rng):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+
+        def body(carry_rng, idx):
+            data = batch_fn(idx)
+            out = model.apply(variables, data, rng=None, train=False)
+            bl, _ = compute_batch_loss(
+                model,
+                data,
+                out,
+                loss_scale,
+                disentangle_config,
+                tree,
+                state.scrub_state,
+                adv_bundle=adv_bundle,
+                adv_states=state.adv_states,
+                mi_state=state.mi_state,
+                rng=carry_rng,
+                disentangle_keys=disentangle_keys,
+                conditional_keys=conditional_keys,
+                feat_slices=feat_slices,
+            )
+            res = {}
+            next_rng = carry_rng
+            for key in gen_restrict_keys:
+                next_rng, sub = jax.random.split(next_rng)
+                pred, target = generative_restrictiveness_batch(
+                    model,
+                    variables,
+                    out["mu"],
+                    data,
+                    key,
+                    tree,
+                    sub,
+                    norm_params=norm_params,
+                )
+                res[key] = (pred, target)
+            return next_rng, (bl, out["mu"], res)
+
+        _, (bls, mus, ress) = jax.lax.scan(body, rng, idx_matrix)
+        metrics = {k: jnp.mean(v) for k, v in bls.items()}
+        z = mus.reshape(-1, mus.shape[-1])
+        gen = {
+            k: (p.reshape(-1, p.shape[-1]), t.reshape(-1, t.shape[-1]))
+            for k, (p, t) in ress.items()
+        }
+        return metrics, z, gen
+
+    return jax.jit(epoch)

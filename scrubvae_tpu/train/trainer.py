@@ -217,19 +217,64 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + v
         return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
+    def _gen_restrict_keys(self):
+        return tuple(
+            k
+            for k in self.info["disentangle_keys"]
+            if k != "ids" and k in ("heading", "avg_speed_3d")
+        )
+
+    def _get_eval_epoch_fn(self):
+        """Lazily-built scanned validation epoch (one dispatch)."""
+        if getattr(self, "_eval_epoch_fn", None) is None:
+            from scrubvae_tpu.train.step import make_eval_epoch
+
+            common = dict(
+                disentangle_config=self.dis_cfg,
+                loss_keys=tuple(self.loss_cfg.keys()),
+                disentangle_keys=tuple(self.info["disentangle_keys"]),
+                conditional_keys=tuple(self.info["conditional_keys"]),
+                feat_slices=self.feat_slices,
+                adv_bundle=self.adv_bundle,
+            )
+            self._eval_epoch_fn = make_eval_epoch(
+                self.model,
+                self.val_ds.kinematic_tree,
+                gen_restrict_keys=self._gen_restrict_keys(),
+                norm_params=self.val_ds.norm_params,
+                batch_fn=self._batch_fn(self.val_ds),
+                **common,
+            )
+        return self._eval_epoch_fn
+
     def test_epoch(self, epoch: int):
+        loss_scale = self.loss_scale_for_epoch(epoch)
+        rng = jax.random.PRNGKey(1000 + epoch)
+
+        if self.use_scan_epoch:
+            n = len(self.val_ds)
+            steps = max(n // self.batch_size, 1)
+            idx_matrix = jnp.asarray(
+                np.arange(steps * self.batch_size).reshape(steps, self.batch_size)
+                % n
+            )
+            m, z, gen = self._get_eval_epoch_fn()(
+                self.state, idx_matrix, loss_scale, rng
+            )
+            metrics = {k: float(v) for k, v in m.items()}
+            for key, (pred, target) in gen.items():
+                pred, target = np.asarray(pred), np.asarray(target)
+                ss_res = ((target - pred) ** 2).sum()
+                ss_tot = ((target - target.mean(axis=0)) ** 2).sum()
+                metrics[f"r2_gen_restrict_{key}"] = float(1.0 - ss_res / ss_tot)
+            return metrics, np.asarray(z)
+
         from scrubvae_tpu.evals.restrictiveness import generative_restrictiveness_batch
 
-        loss_scale = self.loss_scale_for_epoch(epoch)
         sums: Dict[str, float] = {}
         count = 0
         zs = []
-        gen_res = {
-            k: {"pred": [], "target": []}
-            for k in self.info["disentangle_keys"]
-            if k != "ids" and k in ("heading", "avg_speed_3d")
-        }
-        rng = jax.random.PRNGKey(1000 + epoch)
+        gen_res = {k: {"pred": [], "target": []} for k in self._gen_restrict_keys()}
         for idx in epoch_batches(len(self.val_ds), self.batch_size, None):
             bl, mu = self.eval_step(self.state, jnp.asarray(idx), loss_scale)
             zs.append(np.asarray(mu))

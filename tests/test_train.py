@@ -289,6 +289,45 @@ class TestScanEpochEquivalence:
             )
 
 
+class TestScanEvalEquivalence:
+    def test_scanned_test_epoch_matches_per_step(self, dataset, tmp_path):
+        """The single-dispatch scanned validation epoch produces the same
+        deterministic loss metrics as the per-batch host loop, and the same
+        latent matrix; the restrictiveness R^2 keys exist in both (their
+        random factor injections draw different streams, so values are only
+        checked for finiteness)."""
+        cfg = base_config(tmp_path)
+        cfg["disentangle"]["method"] = {
+            "conditional": ["avg_speed_3d", "heading"]
+        }
+        cfg["disentangle"]["features"] = ["avg_speed_3d", "heading"]
+        cfg["loss"]["jpe"] = 1.0
+
+        model, info = factory.build_model(
+            cfg["model"],
+            cfg["disentangle"],
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+        )
+        results = []
+        for scan in (True, False):
+            c = copy.deepcopy(cfg)
+            c["train"]["scan_epoch"] = scan
+            tr = Trainer(c, {"train": dataset, "val": dataset}, model, info)
+            metrics, z = tr.test_epoch(epoch=5)
+            results.append((metrics, z))
+        (ma, za), (mb, zb) = results
+        assert set(ma) == set(mb)
+        np.testing.assert_allclose(za, zb, rtol=1e-4, atol=1e-5)
+        for k in ma:
+            if k.startswith("r2_gen_restrict"):
+                assert np.isfinite(ma[k]) and np.isfinite(mb[k]), k
+            else:
+                np.testing.assert_allclose(ma[k], mb[k], rtol=2e-4, err_msg=k)
+
+
 class TestLowPrecisionAdam:
     """scale_by_adam_lowp: f32 storage matches optax exactly; bf16 storage
     tracks it closely (the default flagship configuration)."""
