@@ -198,18 +198,28 @@ def fwd_kin_cont6d(
 
     # cont6d -> rotation, column convention (qtn.cont6d_to_matrix
     # semantics), held as per-joint 3x3 tuples of (N,) planes.
+    # Normalization is the smooth rsqrt(|v|^2 + eps'^2) form: sqrt's
+    # gradient is nan at an exact zero vector and explodes near it, which
+    # raw decoder outputs hit under TPU matmul rounding (this op runs
+    # inside the differentiable jpe loss - see ops.rotation._smooth_normalize).
+    eps_eff = max(float(eps), 1e-6)
+
     def _joint_R(j):
         xr = [xs[j, i] for i in range(3)]
         yr = [xs[j, 3 + i] for i in range(3)]
-        nx = jnp.sqrt(xr[0] * xr[0] + xr[1] * xr[1] + xr[2] * xr[2]) + eps
-        cx = [v / nx for v in xr]
+        rx = jax.lax.rsqrt(
+            xr[0] * xr[0] + xr[1] * xr[1] + xr[2] * xr[2] + eps_eff * eps_eff
+        )
+        cx = [v * rx for v in xr]
         zr = [
             cx[1] * yr[2] - cx[2] * yr[1],
             cx[2] * yr[0] - cx[0] * yr[2],
             cx[0] * yr[1] - cx[1] * yr[0],
         ]
-        nz = jnp.sqrt(zr[0] * zr[0] + zr[1] * zr[1] + zr[2] * zr[2]) + eps
-        cz = [v / nz for v in zr]
+        rz = jax.lax.rsqrt(
+            zr[0] * zr[0] + zr[1] * zr[1] + zr[2] * zr[2] + eps_eff * eps_eff
+        )
+        cz = [v * rz for v in zr]
         cy = [
             cz[1] * cx[2] - cz[2] * cx[1],
             cz[2] * cx[0] - cz[0] * cx[2],

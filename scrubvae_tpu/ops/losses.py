@@ -51,7 +51,10 @@ def stable_rotation_loss(x: Array, x_hat: Array, eps: float = 1e-7) -> Array:
     m1 = rotation_6d_to_matrix(x)
     m2 = rotation_6d_to_matrix(x_hat)
     diff = m2 - m1
-    sin = jnp.sqrt(jnp.sum(diff * diff, axis=(-1, -2))) / (2.0**1.5)
+    # +1e-14 inside the sqrt: its gradient is unbounded (nan) at an exact
+    # zero difference, which perfectly-reconstructed rotations reach late
+    # in training; the shift biases sin by <= 1e-7 (far below f32 noise).
+    sin = jnp.sqrt(jnp.sum(diff * diff, axis=(-1, -2)) + 1e-14) / (2.0**1.5)
     sin = jnp.clip(sin, -1.0 + eps, 1.0 - eps)
     return 2.0 * jnp.sum(jnp.arcsin(sin))
 

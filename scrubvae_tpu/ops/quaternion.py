@@ -12,6 +12,7 @@ act on column vectors.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -197,9 +198,17 @@ def cont6d_to_matrix(c6d: Array, eps: float = 0.0) -> Array:
     """
     x_raw = c6d[..., 0:3]
     y_raw = c6d[..., 3:6]
-    x = x_raw / (jnp.linalg.norm(x_raw, axis=-1, keepdims=True) + eps)
-    z = jnp.cross(x, y_raw)
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + eps)
+    # Smooth normalization: x * rsqrt(|x|^2 + eps'^2) instead of the
+    # reference's x / (|x| + eps) — the latter's backward is nan at |x|==0
+    # (norm grad is 0/0) and explodes near it, which a raw decoder output
+    # can hit under TPU matmul rounding. Identical to f32 resolution for
+    # any non-degenerate input; eps' floors at 1e-6 to bound the gradient.
+    eps_eff = max(float(eps), 1e-6)
+    def _nrm(v):
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(n2 + eps_eff * eps_eff)
+    x = _nrm(x_raw)
+    z = _nrm(jnp.cross(x, y_raw))
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)
 

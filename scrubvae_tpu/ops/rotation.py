@@ -234,16 +234,35 @@ def random_rotations(key: Array, n: int, dtype=jnp.float32) -> Array:
     return quaternion_to_matrix(random_quaternions(key, n, dtype))
 
 
+def _smooth_normalize(x: Array, eps: float = 1e-6) -> Array:
+    """x / ||x|| with a smooth, fully differentiable guard.
+
+    ``x / max(||x||, eps)`` (torch F.normalize, used by the reference) is
+    forward-safe but its BACKWARD is nan at ||x|| == 0 (norm's gradient is
+    0/0) and explodes as 1/||x|| near it. An untrained decoder emits 6D
+    rows with ||a2_perp|| ~ 1e-7; TPU bf16-pass matmul noise pushes such
+    rows through exact zero, which turned entire gradient trees nan
+    (observed on the conditional ladder config, step 76). rsqrt(||x||^2 +
+    eps^2) is smooth everywhere, bounds the gradient by ~1/eps, and for
+    ||x|| >= 1e-2 differs from 1/||x|| by < 1e-8 relative — below f32
+    resolution for every legitimate rotation row.
+    """
+    n2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(n2 + eps * eps)
+
+
 def rotation_6d_to_matrix(d6: Array) -> Array:
     """Row-convention 6D -> rotation matrix via Gram-Schmidt (Zhou et al.).
 
     Matches the reference rotation-loss path
     (rotation_conversion.py:469-488): rows are stacked, b3 = b1 x b2.
+    Normalizations use the smooth guard (see _smooth_normalize) so the
+    backward pass stays finite on degenerate rows.
     """
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    b1 = _smooth_normalize(a1)
     b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    b2 = _smooth_normalize(b2)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

@@ -371,3 +371,54 @@ class TestLosses:
         W = jax.random.normal(jax.random.PRNGKey(40), (8, 3))
         y = z @ W
         assert float(losses.direct_lsq_loss(z, y)) < 1e-3
+
+
+class TestDegenerateGradients:
+    """The backward pass must stay finite on degenerate rotation inputs:
+    an untrained decoder emits 6D rows that are near-zero or near-parallel,
+    and TPU matmul rounding pushes them through exact zero, which the
+    max(norm, eps)-style guards do not protect (norm's gradient is 0/0 at
+    the origin). Regression for the ladder-config NaN at train step 76."""
+
+    def _grad_finite(self, fn, *args):
+        g = jax.grad(fn)(*args)
+        assert np.isfinite(np.asarray(g)).all(), "non-finite gradient"
+
+    def test_rotation6d_grad_on_degenerate_rows(self):
+        cases = [
+            jnp.zeros((1, 6)),  # both rows exactly zero
+            jnp.asarray([[1.0, 0, 0, 1.0, 0, 0]]),  # a2 parallel to a1
+            jnp.asarray([[1.0, 0, 0, 1.0, 1e-8, 0]]),  # near-parallel
+            jnp.asarray([[1e-9, 0, 0, 0, 1e-9, 0]]),  # near-zero rows
+        ]
+        for d6 in cases:
+            self._grad_finite(lambda x: jnp.sum(rot.rotation_6d_to_matrix(x)), d6)
+
+    def test_cont6d_grad_on_degenerate_rows(self):
+        cases = [
+            jnp.zeros((1, 6)),
+            jnp.asarray([[1.0, 0, 0, 1.0, 0, 0]]),
+            jnp.asarray([[1e-9, 0, 0, 1e-9, 0, 0]]),
+        ]
+        for c in cases:
+            self._grad_finite(
+                lambda x: jnp.sum(qtn.cont6d_to_matrix(x, eps=1e-8)), c
+            )
+
+    def test_stable_rotation_loss_grad_at_exact_match(self):
+        q = qtn.quaternion_to_cont6d(
+            qtn.qnormalize(jax.random.normal(jax.random.PRNGKey(0), (4, 4)))
+        )
+        x = q.reshape(1, 4, 6)
+        self._grad_finite(lambda a: losses.stable_rotation_loss(x, a), x)
+
+    def test_mpjpe_grad_on_zero_rotations(self):
+        B, W, J = 1, 2, SKEL.tree.n_joints
+        x6d = jnp.zeros((B, W, J, 6))
+        offsets = jnp.broadcast_to(
+            jnp.asarray(SKEL.tree.offsets) * 20.0, (B, W, J, 3)
+        )
+        target = jnp.ones((B, W, J, 3))
+        self._grad_finite(
+            lambda a: losses.mpjpe_loss(target, a, SKEL.tree, offsets), x6d
+        )
