@@ -186,15 +186,22 @@ class CholeskyL(nn.Module):
     def __call__(self, x: Array) -> Array:
         D = self.z_dim
         B = x.shape[0]
+        # +1e-6 floor on the diagonal: softplus underflows to exact 0 for
+        # inputs < -103, and the KL / total-correlation losses take
+        # log(diag) -> -inf -> nan gradients. A collapsing posterior under
+        # a small annealed beta reaches that underflow (observed: the full
+        # ladder config went nan at epoch 8 with prior KL ~2e4). The floor
+        # is invisible for any healthy scale (diag ~1e-2..10) and matches
+        # what the KL can resolve in f32 anyway.
         if self.is_diag:
-            diag = jax.nn.softplus(x)
+            diag = jax.nn.softplus(x) + 1e-6
             L = jnp.zeros((B, D, D), dtype=x.dtype)
             return L.at[:, jnp.arange(D), jnp.arange(D)].set(diag)
         idx = jnp.tril_indices(D)
         L = jnp.zeros((B, D, D), dtype=x.dtype)
         L = L.at[:, idx[0], idx[1]].set(x)
         ar = jnp.arange(D)
-        return L.at[:, ar, ar].set(jax.nn.softplus(L[:, ar, ar]))
+        return L.at[:, ar, ar].set(jax.nn.softplus(L[:, ar, ar]) + 1e-6)
 
 
 class ResidualBlock(nn.Module):

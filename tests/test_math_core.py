@@ -422,3 +422,28 @@ class TestDegenerateGradients:
         self._grad_finite(
             lambda a: losses.mpjpe_loss(target, a, SKEL.tree, offsets), x6d
         )
+
+    def test_prior_loss_grad_with_underflowed_diag(self):
+        """softplus(-200) underflows to exact 0 in f32; the CholeskyL floor
+        must keep log(diag) and its gradient finite (full-ladder config
+        went nan at epoch 8 from a collapsing posterior)."""
+        import flax.linen as nn_  # noqa: F401
+        from scrubvae_tpu.models.layers import CholeskyL
+
+        for is_diag in (True, False):
+            D = 4
+            mod = CholeskyL(z_dim=D, is_diag=is_diag)
+            n_out = D if is_diag else D * (D + 1) // 2
+            x = jnp.full((2, n_out), -200.0)
+            L = mod.apply({}, x)
+            mu = jnp.ones((2, D))
+
+            def f(xin):
+                Lm = mod.apply({}, xin)
+                return losses.prior_loss(mu, Lm)
+
+            val = float(f(x))
+            g = jax.grad(f)(x)
+            assert np.isfinite(val)
+            assert np.isfinite(np.asarray(g)).all()
+            assert np.isfinite(np.asarray(L)).all()
