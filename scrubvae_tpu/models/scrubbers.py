@@ -405,7 +405,10 @@ def ma_loss(state: MAFilterState, x: Array, y: Array):
     mean_est = 0.5 * (m1 + m2)
     diff = mean_est.T[..., None] - mean_est.T[..., None, :]
     triu = jnp.triu(diff, k=1)
-    loss = jnp.linalg.norm(triu)
+    # smooth norm: jnp.linalg.norm's gradient is nan at exactly-coincident
+    # class means (always the case for a single-class feature, and at the
+    # zero-initialized means on step one)
+    loss = jnp.sqrt(jnp.sum(triu * triu) + 1e-12)
     return loss, state.replace(lam1=lam1, lam2=lam2)
 
 

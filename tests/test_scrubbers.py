@@ -253,3 +253,30 @@ class TestLinearProjection:
         np.testing.assert_allclose(
             np.asarray(out["v"]), np.asarray(z @ W.T), atol=1e-5
         )
+
+
+class TestMALossDegenerateGradient:
+    def test_grad_finite_at_coincident_means(self):
+        """norm of the pairwise class-mean differences is exactly zero when
+        the means coincide (single class, or zero-initialized means on the
+        first step); the gradient must stay finite."""
+        from scrubvae_tpu.models import scrubbers as scr
+
+        st = scr.ma_init(4, np.asarray([0]))  # single class -> empty triu
+        x = jnp.ones((8, 4))
+        y = jnp.zeros((8, 1))
+
+        def f(xin):
+            loss, _ = scr.ma_loss(st, xin, y)
+            return loss
+
+        g = jax.grad(f)(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+        st2 = scr.ma_init(4, np.asarray([0, 1]))  # two classes, same mean
+        y2 = jnp.concatenate([jnp.zeros((4, 1)), jnp.ones((4, 1))])
+        def f2(xin):
+            loss, _ = scr.ma_loss(st2, xin, y2)
+            return loss
+        g2 = jax.grad(f2)(x)
+        assert np.isfinite(np.asarray(g2)).all()
