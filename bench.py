@@ -158,6 +158,10 @@ def main():
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
+    # a benchmark number from a numerically-dead run is meaningless
+    total = float(metrics["total"])
+    assert np.isfinite(total), f"non-finite training loss in bench run: {total}"
+
     sps = batch * args.steps / dt
     n_chips = jax.device_count()
     sps_per_chip = sps / max(n_chips, 1)
