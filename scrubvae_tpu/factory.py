@@ -400,3 +400,15 @@ def all_saved_epochs(path: str) -> np.ndarray:
         int(re.findall(r"\d+", f.name)[0]) for f in z_path.glob("epoch*")
     ]
     return np.sort(np.asarray(epochs, dtype=int))
+
+
+# Reference-shaped aliases: the reference exposes this module as
+# `scrubvae.get` with `get.model(...)` (get/model.py:4) and
+# `get.latents(...)` (get/eval.py:8).
+model = build_model
+
+
+def latents(*args, **kwargs):
+    from scrubvae_tpu.evals.latents import latents as _latents
+
+    return _latents(*args, **kwargs)
