@@ -1,0 +1,127 @@
+"""Smoke tests for the plot layer and offline analysis utilities
+(reference plot/plot.py, plot/eval.py, eval/cluster.py, eval/eval.py):
+every renderer produces a file on tiny synthetic inputs, clustering caches
+round-trip, and the null-space projection is orthogonal to the decoder
+weight."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from scrubvae_tpu.data.skeleton import load_skeleton
+from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+from scrubvae_tpu.evals import cluster
+from scrubvae_tpu.evals.traverse import project_to_null
+from scrubvae_tpu.plot import feature_ridge, sample_clusters, scatter_cmap, trace
+from scrubvae_tpu.plot import eval as plot_eval
+from scrubvae_tpu.plot import pose_viz
+
+SKEL = load_skeleton("configs/mouse_skeleton.yaml")
+
+
+@pytest.fixture(scope="module")
+def pose():
+    p, _ = synthetic_pose_stream(SKEL, n_frames=140, n_ids=1, seed=3)
+    return np.asarray(p)
+
+
+class TestPlots:
+    def test_trace(self, pose, tmp_path):
+        out = trace(
+            pose, SKEL, frames=[0, 40], N_FRAMES=30,
+            FIG_NAME="t.png", SAVE_ROOT=str(tmp_path),
+        )
+        assert (tmp_path / "t.png").exists(), out
+
+    def test_feature_ridge(self, tmp_path):
+        rng = np.random.default_rng(0)
+        out = feature_ridge(
+            rng.normal(size=(200, 1)),
+            rng.integers(0, 3, size=200),
+            feature_name="speed",
+            FIG_NAME="r.png",
+            SAVE_ROOT=str(tmp_path),
+        )
+        assert (tmp_path / "r.png").exists(), out
+
+    def test_scatter_cmap(self, tmp_path):
+        rng = np.random.default_rng(1)
+        out = scatter_cmap(
+            rng.normal(size=(100, 2)), rng.normal(size=100),
+            FIG_NAME="s.png", SAVE_ROOT=str(tmp_path),
+        )
+        assert (tmp_path / "s.png").exists(), out
+
+    def test_loss_curves(self, tmp_path):
+        loss_dict = {
+            "total": [3.0, 2.0, 1.0],
+            "rotation": [2.0, 1.5, 1.0],
+            "avg_speed_3d": [0.2, 0.1, 0.05],
+            "mcmi": [-0.1, -0.2, -0.3],
+        }
+        outs = plot_eval.loss(
+            loss_dict, str(tmp_path) + "/", disentangle_keys=("avg_speed_3d",)
+        )
+        assert outs and all(isinstance(p, str) for p in outs)
+
+    def test_grid3d_video_fallback(self, pose, tmp_path):
+        # no ffmpeg in this image -> pillow .gif fallback
+        pose_viz.grid3D(
+            pose, SKEL, frames=[0, 30], N_FRAMES=8, fps=5,
+            VID_NAME="g.mp4", SAVE_ROOT=str(tmp_path),
+        )
+        assert (tmp_path / "g.mp4").exists() or (tmp_path / "g.gif").exists()
+
+    def test_arena3d_video_fallback(self, pose, tmp_path):
+        pose_viz.arena3D(
+            pose, SKEL, frames=[0], N_FRAMES=8, fps=5,
+            VID_NAME="a.mp4", SAVE_ROOT=str(tmp_path),
+        )
+        assert (tmp_path / "a.mp4").exists() or (tmp_path / "a.gif").exists()
+
+    def test_sample_clusters(self, pose, tmp_path):
+        ids = np.zeros(3, dtype=int)
+        outs = sample_clusters(
+            pose, ids, SKEL, n_samples=2, window=8, SAVE_ROOT=str(tmp_path) + "/"
+        )
+        assert len(outs) == 1
+
+
+class TestClusterAndNullSpace:
+    def test_gmm_cache_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2)
+        z = np.concatenate(
+            [rng.normal(size=(60, 4)), rng.normal(size=(60, 4)) + 4.0]
+        )
+        k1, m1 = cluster.gmm(z, label="t", path=str(tmp_path) + "/", n_components=2)
+        k2, m2 = cluster.gmm(z, label="t", path=str(tmp_path) + "/", n_components=2)
+        assert k1.shape == (120,)
+        np.testing.assert_array_equal(k1, k2)  # second call hits the cache
+        assert len(np.unique(k1)) == 2
+        assert (tmp_path / "t_gmm.p").exists()
+        assert (tmp_path / "t_gmm.npy").exists()
+
+    def test_dbscan_runs(self, tmp_path):
+        rng = np.random.default_rng(3)
+        z = np.concatenate(
+            [rng.normal(size=(40, 3)), rng.normal(size=(40, 3)) + 8.0]
+        )
+        preds = cluster.dbscan(
+            z, min_samples=5, label="d", path=str(tmp_path) + "/"
+        )
+        assert preds.shape == (80,)
+        assert (tmp_path / "d_sc_pred.npy").exists()
+
+    def test_project_to_null_orthogonal(self):
+        rng = np.random.default_rng(4)
+        z = rng.normal(size=(50, 8))
+        w = rng.normal(size=(3, 8))
+        z_null, basis = project_to_null(z, w)
+        assert z_null.shape == (50, 5) and basis.shape == (8, 5)
+        # back in latent space, the projection has no component along w
+        np.testing.assert_allclose(
+            (z_null @ basis.T) @ w.T, np.zeros((50, 3)), atol=1e-5
+        )
