@@ -125,3 +125,87 @@ class TestClusterAndNullSpace:
         np.testing.assert_allclose(
             (z_null @ basis.T) @ w.T, np.zeros((50, 3)), atol=1e-5
         )
+
+
+class TestMetricHelpers:
+    def test_shannon_entropy(self):
+        from scrubvae_tpu.evals.metrics import shannon_entropy
+
+        assert shannon_entropy(np.asarray([0, 0, 0, 0])) == 0.0
+        np.testing.assert_allclose(
+            shannon_entropy(np.asarray([0, 1, 0, 1])), np.log(2), rtol=1e-6
+        )
+
+    def test_hungarian_match_relabels(self):
+        from scrubvae_tpu.evals.metrics import hungarian_match
+
+        x1 = np.asarray([0, 0, 1, 1, 2, 2])
+        x2 = np.asarray([2, 2, 0, 0, 1, 1])  # permutation of x1's labels
+        mapped = hungarian_match(x1, x2)
+        np.testing.assert_array_equal(mapped, x2)
+
+    def test_mmd_same_vs_shifted(self):
+        from scrubvae_tpu.evals.metrics import mmd_estimate
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(80, 3))
+        Y = rng.normal(size=(80, 3))
+        Z = rng.normal(size=(80, 3)) + 3.0
+        assert mmd_estimate(X, Z) > mmd_estimate(X, Y)
+
+
+class TestTraverseLatent:
+    def test_static_traversal_renders(self, tmp_path):
+        """End-to-end latent traversal on a tiny MLP VAE: decode a sweep of
+        shifted latents, FK the output, render the static trace."""
+        import jax
+        import jax.numpy as jnp
+
+        from scrubvae_tpu.data.dataset import StreamDataset
+        from scrubvae_tpu.data.pipeline import build_frame_store
+        from scrubvae_tpu.evals.traverse import traverse_latent
+        from scrubvae_tpu.models.mlp_vae import MLPVAE
+
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=1, seed=6)
+        store = build_frame_store(
+            pose, ids, SKEL, window=21, stride=2, speed_threshold=None
+        )
+        arena = np.asarray([[-300, -300, 0], [300, 300, 100]], np.float32)
+        ds = StreamDataset(
+            store,
+            SKEL,
+            ("x6d", "root", "offsets", "target_pose"),
+            "midfwd",
+            arena_size=arena,
+            label="test",
+        )
+        model = MLPVAE(
+            in_channels=18 * 6 + 3,
+            hidden=(32,),
+            z_dim=4,
+            window=21,
+            arena_size=tuple(map(tuple, arena.tolist())),
+        )
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng}, ds.batch(jnp.arange(2)), rng=rng, train=True
+        )
+        z = np.random.default_rng(7).normal(size=(len(ds), 4)).astype(np.float32)
+        weight = np.asarray([[1.0, 0, 0, 0]], dtype=np.float32)
+        out_pose = traverse_latent(
+            model,
+            variables,
+            ds,
+            z,
+            weight,
+            index=0,
+            n_shifts=3,
+            grid_vis=False,
+            arena_vis=False,
+            static_vis=True,
+            save_path=str(tmp_path) + "/",
+            sample_index=0,
+        )
+        assert out_pose.shape == (3 * 21, 18, 3)
+        assert np.isfinite(out_pose).all()
+        assert (tmp_path / "test_trace_0.png").exists()
