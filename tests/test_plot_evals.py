@@ -209,3 +209,82 @@ class TestTraverseLatent:
         assert out_pose.shape == (3 * 21, 18, 3)
         assert np.isfinite(out_pose).all()
         assert (tmp_path / "test_trace_0.png").exists()
+
+
+class TestEpochMetricHarness:
+    def test_epoch_regression_sweep_with_cache(self, tmp_path):
+        """Offline per-epoch decodability sweep over saved checkpoints
+        (reference epoch_metric/epoch_regression): train a tiny run via the
+        config path, sweep linear decodability across saved epochs, and
+        check the pickle cache short-circuits the second call."""
+        import pickle
+
+        import yaml
+
+        from scrubvae_tpu.data.pose_io import write_pose_h5
+        from scrubvae_tpu.evals.metrics import epoch_regression
+        from scrubvae_tpu.params import read
+
+        data_path = tmp_path / "data"
+        (data_path / "synthetic" / "train").mkdir(parents=True)
+        import shutil
+
+        shutil.copy("configs/mouse_skeleton.yaml", data_path / "mouse_skeleton.yaml")
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=200, n_ids=2, seed=8)
+        write_pose_h5(data_path / "synthetic" / "train" / "pose.h5", pose, ids)
+
+        run = tmp_path / "run"
+        run.mkdir()
+        cfg = {
+            "data": {
+                "data_path": str(data_path) + "/",
+                "dataset": "synthetic",
+                "batch_size": 16,
+                "direction_process": "midfwd",
+                "arena_size": [[-300, -300, 0], [300, 300, 100]],
+                "remove_speed_outliers": False,
+            },
+            "disentangle": {"method": {}},
+            "model": {"type": "mlp", "z_dim": 4, "window": 21,
+                      "hidden": [16], "diag": True},
+            "train": {"lr": 1e-3, "optimizer": "adam", "lr_schedule": None,
+                      "num_epochs": 10, "seed": 0, "eval_start_epoch": 999,
+                      "minimal_test": True},
+            "loss": {"rotation": 1.0, "prior": 0.001, "root": 0.01},
+            "out_path": "current",
+        }
+        with open(run / "model_config.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        resolved = read.config(run / "model_config.yaml")
+        # train-split only (no val files on disk), through the factory path
+        from scrubvae_tpu import factory
+        from scrubvae_tpu.train.trainer import Trainer
+
+        datasets, model, info = factory.data_and_model(
+            resolved,
+            train_val_test=("train",),
+            data_keys=("x6d", "root", "offsets", "target_pose",
+                       "avg_speed_3d", "heading"),
+        )
+        Trainer(resolved, datasets, model, info).fit()
+
+        m1 = epoch_regression(
+            str(run) + "/",
+            "linear_rand_cv",
+            "train",
+            disentangle_keys=("avg_speed_3d",),
+            start_epoch=4,
+        )
+        assert list(m1["epochs"]) == [5, 10]
+        assert len(m1["avg_speed_3d"]["R2"]) == 2
+        pkl = run / "linear_rand_cv_train.p"
+        assert pkl.exists()
+        # cached second call returns without recomputation
+        m2 = epoch_regression(
+            str(run) + "/", "linear_rand_cv", "train",
+            disentangle_keys=("avg_speed_3d",), start_epoch=4,
+        )
+        assert list(m2["epochs"]) == [5, 10]
+        # latents were cached per epoch as well
+        assert (run / "latents" / "train_5.npy").exists()
+        assert (run / "latents" / "train_10.npy").exists()
