@@ -64,13 +64,21 @@ def rand_cv(func):
         if folds < 2:
             return [float("nan")]
         kf = KFold(n_splits=folds, shuffle=True, random_state=100)
-        for train_i, test_i in kf.split(dz):
+        for fold_i, (train_i, test_i) in enumerate(kf.split(dz)):
             try:
                 met.append(func(dz[train_i], dy[train_i], dz[test_i], dy[test_i]))
-            except ValueError:
+            except ValueError as e:
                 # degenerate fold (e.g. a class with <2 samples in a smoke
                 # run) - report nan for the fold instead of aborting the
-                # whole metric sweep
+                # whole metric sweep, but say so: silent nans hid the QDA
+                # fold starvation for a whole round (VERDICT r1 W2).
+                import warnings
+
+                warnings.warn(
+                    f"{func.__name__} fold {fold_i}/{folds} failed "
+                    f"({len(dz)} downsampled samples): {e}",
+                    stacklevel=2,
+                )
                 met.append(float("nan"))
         return met
 

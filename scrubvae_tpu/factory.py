@@ -80,6 +80,16 @@ def build_model(
     conditional_dim = sum(fdims[k] for k in conditional_keys)
 
     in_ch = in_channels_for(n_keypts, direction_process)
+    if in_ch > n_keypts * 6 and arena_size is None:
+        # The reference couples these implicitly and crashes with a conv
+        # shape error (get/model.py:33-35 adds the root channels per
+        # direction_process; residual.py:439 only concatenates root when
+        # arena_size is set). Fail fast with the actual cause instead.
+        raise ValueError(
+            f"direction_process={direction_process!r} includes the 3 root "
+            "channels, which requires data.arena_size for root "
+            "normalization - add arena_size to the config's data section"
+        )
     common = dict(
         in_channels=in_ch,
         z_dim=model_config.get("z_dim") or 128,

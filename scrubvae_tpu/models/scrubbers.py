@@ -532,8 +532,6 @@ def qda_update(state: QDAState, x: Array, y: Array) -> QDAState:
         return m0, m1, S0, S1
 
     x0m, x1m, x0S, x1S = jax.vmap(per_class)(i1)
-    # note reordering: per_class returns (m0, m1, S0, S1)
-    x0m, x1m, x0S, x1S = x0m, x1m, x0S, x1S
 
     la = state.lama[:, None]
     lb = state.lamb[:, None]

@@ -56,6 +56,7 @@ def compute_batch_loss(
     disentangle_keys: Tuple[str, ...] = (),
     conditional_keys: Tuple[str, ...] = (),
     feat_slices: Optional[Dict[str, tuple]] = None,
+    static_loss_scale: Optional[Dict[str, float]] = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Dict]]:
     """Returns (batch_loss dict incl. 'total', new_scrub_state)."""
     batch_size = data["x6d"].shape[0]
@@ -118,8 +119,14 @@ def compute_batch_loss(
                 new_state["qda"][key] = st2
 
             elif method == "direct_lsq":
+                # Bias column iff the loss weight is negative — the
+                # reference's convention (losses.py:253-255). The sign is
+                # static config, so the shape change stays trace-time.
+                sls = static_loss_scale or {}
                 bl[key + "_lsq"] = L.direct_lsq_loss(
-                    latent, data[key], bias=False
+                    latent,
+                    data[key],
+                    bias=float(sls.get(key + "_lsq", 0.0)) < 0,
                 )
 
             elif method == "linear":

@@ -9,7 +9,7 @@ KL weight.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,34 @@ __all__ = [
     "make_lr_schedule",
     "make_optimizer",
     "scale_by_adam_lowp",
+    "ScaleByAdamLowpState",
 ]
+
+
+class ScaleByAdamLowpState(NamedTuple):
+    count: jnp.ndarray
+    mu: dict
+    nu: dict
+    key: jnp.ndarray  # rng for stochastic rounding of the moment stores
+
+
+def _stochastic_round_bf16(x: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> bf16 with stochastic rounding: add uniform noise over the 16
+    truncated mantissa bits, then truncate. Unbiased in expectation, so EMA
+    increments far below bf16's ~0.4% ulp still accumulate over steps
+    (round-to-nearest would absorb them and stall the moment)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.randint(
+        key, x.shape, 0, jnp.uint32(1 << 16), dtype=jnp.uint32
+    )
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def _store(x: jnp.ndarray, dtype, key) -> jnp.ndarray:
+    if dtype == jnp.bfloat16:
+        return _stochastic_round_bf16(x, key)
+    return x.astype(dtype)
 
 
 def scale_by_adam_lowp(
@@ -29,50 +56,65 @@ def scale_by_adam_lowp(
     eps: float = 1e-8,
     mu_dtype=jnp.bfloat16,
     nu_dtype=jnp.bfloat16,
+    seed: int = 17,
 ) -> optax.GradientTransformation:
-    """Adam scaling with reduced-precision moment storage.
+    """Adam scaling with reduced-precision, stochastically-rounded moment
+    storage.
 
     Both EMAs are *accumulated* in float32 and *stored* in ``mu_dtype`` /
-    ``nu_dtype``. bf16's ~3 significant digits are ample for smoothing
-    EMAs, and the storage dtype sets the HBM bill: the AdamW update of the
+    ``nu_dtype``; bf16 stores use stochastic rounding so the per-step EMA
+    increment ((1-b2)=1e-3 relative for nu, below bf16's ~4e-3 ulp) is
+    preserved in expectation instead of being absorbed by round-to-nearest
+    (a quantization stall that would stop nu tracking slow gradient-scale
+    drift). The storage dtype sets the HBM bill: the AdamW update of the
     fc_sigma head (a 4096x8256 matrix, ~70% of flagship params) is the
     hottest single op of the train step and is pure bandwidth — f32 mu+nu
-    cost ~540MB of read+write there, bf16 halves it.
+    cost ~540MB of read+write there, bf16 halves it. Deviation from the
+    reference's f32 torch Adam documented in PARITY.md; long-horizon drift
+    regression in tests/test_train.py.
     """
 
     def init_fn(params):
-        return optax.ScaleByAdamState(
+        return ScaleByAdamLowpState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mu_dtype), params),
             nu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=nu_dtype), params),
+            key=jax.random.PRNGKey(seed),
         )
 
     def update_fn(updates, state, params=None):
         del params
         count = state.count + 1
+        key, sub = jax.random.split(state.key)
+        leaves, treedef = jax.tree.flatten(updates)
+        subkeys = jax.random.split(sub, 2 * max(len(leaves), 1))
+        mu_keys = jax.tree.unflatten(treedef, list(subkeys[: len(leaves)]))
+        nu_keys = jax.tree.unflatten(treedef, list(subkeys[len(leaves) :]))
         mu = jax.tree.map(
-            lambda g, m: (b1 * m.astype(jnp.float32) + (1.0 - b1) * g).astype(
-                mu_dtype
+            lambda g, m, k: _store(
+                b1 * m.astype(jnp.float32) + (1.0 - b1) * g, mu_dtype, k
             ),
             updates,
             state.mu,
+            mu_keys,
         )
         nu = jax.tree.map(
-            lambda g, v: (
-                b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
-            ).astype(nu_dtype),
+            lambda g, v, k: _store(
+                b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g), nu_dtype, k
+            ),
             updates,
             state.nu,
+            nu_keys,
         )
         b1c = 1.0 - b1 ** count.astype(jnp.float32)
         b2c = 1.0 - b2 ** count.astype(jnp.float32)
         out = jax.tree.map(
             lambda m, v: (m.astype(jnp.float32) / b1c)
-            / (jnp.sqrt(v.astype(jnp.float32) / b2c) + eps),
+            / (jnp.sqrt(jnp.maximum(v.astype(jnp.float32), 0.0) / b2c) + eps),
             mu,
             nu,
         )
-        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        return out, ScaleByAdamLowpState(count=count, mu=mu, nu=nu, key=key)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

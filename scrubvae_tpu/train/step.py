@@ -58,6 +58,7 @@ def make_train_step(
     conditional_keys: Tuple[str, ...] = (),
     feat_slices: Optional[Dict[str, np.ndarray]] = None,
     adv_bundle: Optional[dict] = None,
+    static_loss_scale: Optional[Dict[str, float]] = None,
     mcmi_bandwidth: Optional[float] = None,
     mcmi_var_mode: str = "sphere",
     adv_fit: bool = True,
@@ -114,6 +115,7 @@ def make_train_step(
                 disentangle_keys=disentangle_keys,
                 conditional_keys=conditional_keys,
                 feat_slices=feat_slices,
+                static_loss_scale=static_loss_scale,
             )
             return bl["total"], (bl, out, new_bs, new_scrub)
 
@@ -226,6 +228,7 @@ def make_eval_step(
     conditional_keys: Tuple[str, ...] = (),
     feat_slices: Optional[Dict[str, np.ndarray]] = None,
     adv_bundle: Optional[dict] = None,
+    static_loss_scale: Optional[Dict[str, float]] = None,
     batch_fn: Optional[Callable[[Array], Dict[str, Array]]] = None,
 ):
     """Jitted evaluation step: forward with z = mu, losses without any state
@@ -252,6 +255,7 @@ def make_eval_step(
             disentangle_keys=disentangle_keys,
             conditional_keys=conditional_keys,
             feat_slices=feat_slices,
+            static_loss_scale=static_loss_scale,
         )
         return bl, out["mu"]
 
@@ -287,6 +291,7 @@ def make_eval_epoch(
     conditional_keys = eval_kwargs.get("conditional_keys", ())
     feat_slices = eval_kwargs.get("feat_slices")
     adv_bundle = eval_kwargs.get("adv_bundle")
+    static_loss_scale = eval_kwargs.get("static_loss_scale")
     del loss_keys
 
     def epoch(state: TrainState, idx_matrix, loss_scale, rng):
@@ -312,6 +317,7 @@ def make_eval_epoch(
                 disentangle_keys=disentangle_keys,
                 conditional_keys=conditional_keys,
                 feat_slices=feat_slices,
+                static_loss_scale=static_loss_scale,
             )
             res = {}
             next_rng = carry_rng
@@ -330,13 +336,15 @@ def make_eval_epoch(
                 res[key] = (pred, target)
             return next_rng, (bl, out["mu"], res)
 
-        _, (bls, mus, ress) = jax.lax.scan(body, rng, idx_matrix)
+        final_rng, (bls, mus, ress) = jax.lax.scan(body, rng, idx_matrix)
         metrics = {k: jnp.mean(v) for k, v in bls.items()}
         z = mus.reshape(-1, mus.shape[-1])
         gen = {
             k: (p.reshape(-1, p.shape[-1]), t.reshape(-1, t.shape[-1]))
             for k, (p, t) in ress.items()
         }
-        return metrics, z, gen
+        # final_rng lets the host continue the identical rng stream for a
+        # tail batch, so scanned + tail == pure per-step epoch exactly.
+        return metrics, z, gen, final_rng
 
     return jax.jit(epoch)

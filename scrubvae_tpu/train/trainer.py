@@ -122,6 +122,10 @@ class Trainer:
             conditional_keys=tuple(info["conditional_keys"]),
             feat_slices=self.feat_slices,
             adv_bundle=self.adv_bundle,
+            # Static copy of the configured loss weights: sign conventions
+            # (e.g. direct_lsq bias, reference losses.py:253-255) are
+            # trace-time decisions and must not ride the traced loss_scale.
+            static_loss_scale={k: float(v) for k, v in self.loss_cfg.items()},
         )
         tree = self.train_ds.kinematic_tree
         step_kwargs = dict(
@@ -248,39 +252,51 @@ class Trainer:
         return self._eval_epoch_fn
 
     def test_epoch(self, epoch: int):
+        """Validation epoch over the FULL val split.
+
+        Both paths (scanned and per-step) cover every sample exactly once:
+        full batches plus a tail batch when ``len(val) % batch_size != 0``
+        (the scanned path runs the tail through the per-step eval), with
+        per-sample weighting of the batch means. No index wraparound, so the
+        scanned and per-step metrics agree exactly on any split size.
+        """
+        from scrubvae_tpu.evals.restrictiveness import generative_restrictiveness_batch
+
         loss_scale = self.loss_scale_for_epoch(epoch)
         rng = jax.random.PRNGKey(1000 + epoch)
-
-        if self.use_scan_epoch:
-            n = len(self.val_ds)
-            steps = max(n // self.batch_size, 1)
-            idx_matrix = jnp.asarray(
-                np.arange(steps * self.batch_size).reshape(steps, self.batch_size)
-                % n
-            )
-            m, z, gen = self._get_eval_epoch_fn()(
-                self.state, idx_matrix, loss_scale, rng
-            )
-            metrics = {k: float(v) for k, v in m.items()}
-            for key, (pred, target) in gen.items():
-                pred, target = np.asarray(pred), np.asarray(target)
-                ss_res = ((target - pred) ** 2).sum()
-                ss_tot = ((target - target.mean(axis=0)) ** 2).sum()
-                metrics[f"r2_gen_restrict_{key}"] = float(1.0 - ss_res / ss_tot)
-            return metrics, np.asarray(z)
-
-        from scrubvae_tpu.evals.restrictiveness import generative_restrictiveness_batch
+        n = len(self.val_ds)
+        B = self.batch_size
+        steps = n // B
 
         sums: Dict[str, float] = {}
         count = 0
         zs = []
         gen_res = {k: {"pred": [], "target": []} for k in self._gen_restrict_keys()}
-        for idx in epoch_batches(len(self.val_ds), self.batch_size, None):
+
+        def accumulate(bl: Dict[str, float], nb: int):
+            nonlocal count
+            for k, v in bl.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * nb
+            count += nb
+
+        if self.use_scan_epoch and steps > 0:
+            idx_matrix = jnp.asarray(np.arange(steps * B).reshape(steps, B))
+            m, z, gen, rng = self._get_eval_epoch_fn()(
+                self.state, idx_matrix, loss_scale, rng
+            )
+            accumulate({k: float(v) for k, v in m.items()}, steps * B)
+            zs.append(np.asarray(z))
+            for key, (pred, target) in gen.items():
+                gen_res[key]["pred"].append(np.asarray(pred))
+                gen_res[key]["target"].append(np.asarray(target))
+            tail = [np.arange(steps * B, n)] if steps * B < n else []
+        else:
+            tail = list(epoch_batches(n, B, None, drop_last=False))
+
+        for idx in tail:
             bl, mu = self.eval_step(self.state, jnp.asarray(idx), loss_scale)
             zs.append(np.asarray(mu))
-            for k, v in bl.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
+            accumulate(bl, len(idx))
             data = self.val_ds.batch(jnp.asarray(idx))
             for key in gen_res:
                 rng, sub = jax.random.split(rng)
@@ -306,6 +322,19 @@ class Trainer:
             metrics[f"r2_gen_restrict_{key}"] = float(1.0 - ss_res / ss_tot)
         return metrics, np.concatenate(zs, axis=0) if zs else np.zeros((0,))
 
+    @staticmethod
+    def _fold_summary(out: Dict[str, float], name: str, folds) -> None:
+        """mean/std over valid folds; failed (nan) folds are counted in an
+        explicit ``{name}_nanfolds`` metric instead of silently poisoning the
+        mean (VERDICT r1 W2)."""
+        folds = np.asarray(folds, dtype=float)
+        n_nan = int(np.isnan(folds).sum())
+        valid = folds[~np.isnan(folds)]
+        out[f"{name}_mean"] = float(valid.mean()) if valid.size else float("nan")
+        out[f"{name}_std"] = float(valid.std()) if valid.size else float("nan")
+        if n_nan:
+            out[f"{name}_nanfolds"] = float(n_nan)
+
     def decodability_metrics(self, z_val: np.ndarray) -> Dict[str, float]:
         from scrubvae_tpu.evals import metrics as em
 
@@ -318,31 +347,33 @@ class Trainer:
             keys = ["ids", "pd_label"]
             for key in keys:
                 y = np.asarray(self.val_ds.batch(jnp.arange(len(self.val_ds)))[key])
-                acc_log = em.log_class_rand_cv(z_val, y.astype(int), window, 5)
-                acc_qda = em.qda_rand_cv(z_val, y.astype(int), window, 5)
-                out[f"acc_{key}_log_mean"] = float(np.mean(acc_log))
-                out[f"acc_{key}_log_std"] = float(np.std(acc_log))
-                out[f"acc_{key}_qda_mean"] = float(np.mean(acc_qda))
-                out[f"acc_{key}_qda_std"] = float(np.std(acc_qda))
+                self._fold_summary(
+                    out, f"acc_{key}_log",
+                    em.log_class_rand_cv(z_val, y.astype(int), window, 5),
+                )
+                self._fold_summary(
+                    out, f"acc_{key}_qda",
+                    em.qda_rand_cv(z_val, y.astype(int), window, 5),
+                )
         else:
             full = self.val_ds.batch(jnp.arange(len(self.val_ds)))
             for key in ("avg_speed_3d", "heading"):
                 if key not in full:
                     continue
                 y = np.asarray(full[key])
-                r2_lin = em.linear_rand_cv(z_val, y, window, 5)
-                r2_mlp = em.mlp_rand_cv(z_val, y, window, 5)
-                out[f"r2_{key}_lin_mean"] = float(np.mean(r2_lin))
-                out[f"r2_{key}_lin_std"] = float(np.std(r2_lin))
-                out[f"r2_{key}_mlp_mean"] = float(np.mean(r2_mlp))
-                out[f"r2_{key}_mlp_std"] = float(np.std(r2_mlp))
+                self._fold_summary(
+                    out, f"r2_{key}_lin", em.linear_rand_cv(z_val, y, window, 5)
+                )
+                self._fold_summary(
+                    out, f"r2_{key}_mlp", em.mlp_rand_cv(z_val, y, window, 5)
+                )
             y = np.asarray(full["ids"]).astype(int)
-            acc_log = em.log_class_rand_cv(z_val, y, window, 5)
-            acc_qda = em.qda_rand_cv(z_val, y, window, 5)
-            out["acc_ids_log_mean"] = float(np.mean(acc_log))
-            out["acc_ids_log_std"] = float(np.std(acc_log))
-            out["acc_ids_qda_mean"] = float(np.mean(acc_qda))
-            out["acc_ids_qda_std"] = float(np.std(acc_qda))
+            self._fold_summary(
+                out, "acc_ids_log", em.log_class_rand_cv(z_val, y, window, 5)
+            )
+            self._fold_summary(
+                out, "acc_ids_qda", em.qda_rand_cv(z_val, y, window, 5)
+            )
         return out
 
     def reset_gr(self, epoch: int):

@@ -372,6 +372,56 @@ class TestLosses:
         y = z @ W
         assert float(losses.direct_lsq_loss(z, y)) < 1e-3
 
+    def test_direct_lsq_bias_column(self):
+        """bias=True appends a ones column (reference losses.py:173-179):
+        an affine target fits exactly only with the bias column, and the
+        residual matches the numpy lstsq closed form."""
+        z = np.asarray(jax.random.normal(jax.random.PRNGKey(41), (32, 8)))
+        W = np.asarray(jax.random.normal(jax.random.PRNGKey(42), (8, 3)))
+        y = z @ W + 5.0  # constant offset: not in span(z)
+        no_bias = float(losses.direct_lsq_loss(jnp.asarray(z), jnp.asarray(y)))
+        with_bias = float(
+            losses.direct_lsq_loss(jnp.asarray(z), jnp.asarray(y), bias=True)
+        )
+        assert with_bias < 1e-3 < no_bias
+        zb = np.concatenate([z, np.ones((32, 1), z.dtype)], axis=1)
+        ref = float(((zb @ np.linalg.lstsq(zb, y, rcond=None)[0] - y) ** 2).sum())
+        np.testing.assert_allclose(with_bias, ref, atol=1e-3)
+
+    def test_direct_lsq_bias_from_negative_loss_weight(self):
+        """compute_batch_loss derives the bias column from the sign of the
+        configured loss weight — reference get_batch_loss convention
+        ``bias=loss_scale[key+'_lsq'] < 0`` (losses.py:253-255), fixed from
+        r1's hardcoded bias=False (VERDICT W4)."""
+        from scrubvae_tpu.train.losses import compute_batch_loss
+
+        rng = jax.random.PRNGKey(43)
+        mu = jax.random.normal(rng, (16, 6))
+        y = jax.random.normal(jax.random.PRNGKey(44), (16, 2)) + 3.0
+        data = {"x6d": jnp.zeros((16, 4, 4, 6)), "avg_speed_3d": y}
+        data_o = {"mu": mu, "x6d": jnp.zeros((16, 4, 4, 6))}
+        dis = {"method": {"direct_lsq": ["avg_speed_3d"]}}
+
+        def run(weight):
+            bl, _ = compute_batch_loss(
+                None,
+                data,
+                data_o,
+                {"avg_speed_3d_lsq": jnp.asarray(weight)},
+                dis,
+                tree=None,
+                scrub_state={},
+                static_loss_scale={"avg_speed_3d_lsq": weight},
+            )
+            return float(bl["avg_speed_3d_lsq"])
+
+        np.testing.assert_allclose(
+            run(1.0), float(losses.direct_lsq_loss(mu, y, bias=False)), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            run(-1.0), float(losses.direct_lsq_loss(mu, y, bias=True)), rtol=1e-5
+        )
+
 
 class TestDegenerateGradients:
     """The backward pass must stay finite on degenerate rotation inputs:

@@ -292,10 +292,12 @@ class TestScanEpochEquivalence:
 class TestScanEvalEquivalence:
     def test_scanned_test_epoch_matches_per_step(self, dataset, tmp_path):
         """The single-dispatch scanned validation epoch produces the same
-        deterministic loss metrics as the per-batch host loop, and the same
-        latent matrix; the restrictiveness R^2 keys exist in both (their
-        random factor injections draw different streams, so values are only
-        checked for finiteness)."""
+        loss metrics, the same latent matrix, and the same restrictiveness
+        R^2 as the per-batch host loop — including the tail batch (the val
+        split here is ~170 windows with batch 16, NOT a batch multiple, so
+        this also guards the r1-W3 wraparound/tail bias). The scanned epoch
+        returns its final rng carry so the tail continues the identical
+        random stream, making the factor injections match exactly."""
         cfg = base_config(tmp_path)
         cfg["disentangle"]["method"] = {
             "conditional": ["avg_speed_3d", "heading"]
@@ -320,10 +322,12 @@ class TestScanEvalEquivalence:
             results.append((metrics, z))
         (ma, za), (mb, zb) = results
         assert set(ma) == set(mb)
+        # Both paths must cover the FULL val split (tail included).
+        assert za.shape[0] == len(dataset)
         np.testing.assert_allclose(za, zb, rtol=1e-4, atol=1e-5)
         for k in ma:
             if k.startswith("r2_gen_restrict"):
-                assert np.isfinite(ma[k]) and np.isfinite(mb[k]), k
+                np.testing.assert_allclose(ma[k], mb[k], rtol=5e-3, err_msg=k)
             else:
                 np.testing.assert_allclose(ma[k], mb[k], rtol=2e-4, err_msg=k)
 
@@ -385,6 +389,44 @@ class TestLowPrecisionAdam:
         p2 = self._run(full, steps=50)
         for k in p1:
             np.testing.assert_allclose(p1[k], p2[k], rtol=0.05, atol=0.05)
+
+    def test_bf16_nu_tracks_slow_scale_drift(self):
+        """Long-horizon regression for the stochastically-rounded moment
+        store (ADVICE r1): with a slowly decaying gradient scale the per-step
+        nu increment ((1-b2)=1e-3 relative) is below bf16's ~4e-3 ulp, so a
+        round-to-nearest bf16 store would absorb it and nu would stall at its
+        early value. Stochastic rounding must keep nu tracking the f32
+        trajectory over thousands of steps."""
+        from scrubvae_tpu.train.optim import scale_by_adam_lowp
+
+        g0 = jnp.linspace(0.5, 2.0, 64).astype(jnp.float32)
+        steps = 3000
+        decay = 1.0 - 4e-4  # gradient scale falls to ~30% over the run
+
+        def final_nu(tx):
+            params = {"w": jnp.zeros(64, jnp.float32)}
+            state = tx.init(params)
+
+            def body(state, t):
+                g = {"w": g0 * decay**t}
+                _, state = tx.update(g, state, params)
+                return state, None
+
+            state, _ = jax.jit(
+                lambda s: jax.lax.scan(
+                    body, s, jnp.arange(steps, dtype=jnp.float32)
+                )
+            )(state)
+            return np.asarray(state.nu["w"], dtype=np.float32)
+
+        nu_lowp = final_nu(scale_by_adam_lowp())
+        nu_f32 = final_nu(
+            scale_by_adam_lowp(mu_dtype=jnp.float32, nu_dtype=jnp.float32)
+        )
+        rel_err = np.abs(nu_lowp - nu_f32) / nu_f32
+        # RTN bf16 stalls at ~3x the true value here; SR stays within a few %.
+        assert np.median(rel_err) < 0.10, f"median rel err {np.median(rel_err)}"
+        assert np.max(rel_err) < 0.25, f"max rel err {np.max(rel_err)}"
 
     def test_adamw_uses_torch_default_weight_decay(self):
         """Pure-decay check: with zero gradients after warmup, adamw shrinks
