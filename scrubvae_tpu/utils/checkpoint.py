@@ -40,10 +40,21 @@ def save_weights(out_path: str, epoch: int, params, batch_stats=None) -> str:
 def load_weights(
     load_path: str, epoch: int, params_template, batch_stats_template=None
 ):
+    """Load ``weights/epoch_E.msgpack`` (native), falling back to
+    ``weights/epoch_E.pth`` — a reference-trained torch checkpoint
+    (reference trainer.py:388-393) — via the layout-mapping importer, so a
+    config's ``model.load_model`` can point at a reference run directly."""
     path = Path(load_path) / "weights" / f"epoch_{epoch}.msgpack"
     template = {"params": params_template}
     if batch_stats_template is not None:
         template["batch_stats"] = batch_stats_template
+    if not path.exists():
+        pth = Path(load_path) / "weights" / f"epoch_{epoch}.pth"
+        if pth.exists():
+            from scrubvae_tpu.utils.torch_import import import_torch_weights
+
+            restored = import_torch_weights(pth, template)
+            return restored.get("params"), restored.get("batch_stats")
     restored = flax.serialization.from_bytes(template, path.read_bytes())
     return restored.get("params"), restored.get("batch_stats")
 
