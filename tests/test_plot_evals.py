@@ -154,6 +154,7 @@ class TestMetricHelpers:
         assert mmd_estimate(X, Z) > mmd_estimate(X, Y)
 
 
+@pytest.mark.slow
 class TestTraverseLatent:
     def test_static_traversal_renders(self, tmp_path):
         """End-to-end latent traversal on a tiny MLP VAE: decode a sweep of
@@ -211,6 +212,7 @@ class TestTraverseLatent:
         assert (tmp_path / "test_trace_0.png").exists()
 
 
+@pytest.mark.slow
 class TestEpochMetricHarness:
     def test_epoch_regression_sweep_with_cache(self, tmp_path):
         """Offline per-epoch decodability sweep over saved checkpoints

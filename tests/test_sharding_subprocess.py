@@ -1,0 +1,40 @@
+"""Default-tier wrapper that runs the multi-device sharding tests.
+
+tests/test_sharding.py needs an 8-virtual-device XLA:CPU backend
+(SCRUBVAE_TEST_DEVICES=8), which is a process-global jax config — it cannot
+be flipped inside an already-initialized test process. This wrapper spawns a
+fresh interpreter so the SPMD replica-invariance checks run on every default
+`pytest -q` invocation (VERDICT r1 task 8 / W7) instead of being opt-in.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+
+
+def test_sharding_suite_under_8_virtual_devices():
+    env = dict(os.environ)
+    # The container sitecustomize force-registers the axon TPU PJRT plugin
+    # keyed off this var; drop it so a wedged tunnel can't hang a CPU-only
+    # subprocess (see tests/conftest.py).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["SCRUBVAE_TEST_DEVICES"] = "8"
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         str(HERE / "test_sharding.py")],
+        env=env,
+        cwd=str(HERE.parent),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"sharding tests failed\n--- stdout ---\n{proc.stdout[-4000:]}"
+        f"\n--- stderr ---\n{proc.stderr[-4000:]}"
+    )
+    # all three tests must actually have run (not self-skipped)
+    assert "3 passed" in proc.stdout, proc.stdout[-2000:]

@@ -111,6 +111,7 @@ def run_config(cfg, dataset, epochs=1):
     return tr, metrics
 
 
+@pytest.mark.slow
 class TestConfigLadder:
     def test_cfg1_vanilla_mlp(self, dataset, tmp_path):
         cfg = base_config(tmp_path)
@@ -180,6 +181,7 @@ class TestConfigLadder:
         assert totals[-1] < totals[0]
 
 
+@pytest.mark.slow
 class TestCheckpointing:
     def test_weights_saved_every_5_epochs(self, dataset, tmp_path):
         cfg = base_config(tmp_path)
@@ -226,6 +228,7 @@ class TestConfigReader:
         assert (tmp_path / "model_config.yaml").exists()
 
 
+@pytest.mark.slow
 class TestScanEpochEquivalence:
     def test_scan_matches_per_step(self, dataset, tmp_path):
         """The device-resident lax.scan epoch and the host per-step loop
@@ -289,6 +292,7 @@ class TestScanEpochEquivalence:
             )
 
 
+@pytest.mark.slow
 class TestScanEvalEquivalence:
     def test_scanned_test_epoch_matches_per_step(self, dataset, tmp_path):
         """The single-dispatch scanned validation epoch produces the same
