@@ -24,24 +24,28 @@ HERE = pathlib.Path(__file__).parent.parent
 sys.path.insert(0, str(HERE))
 
 
-def gen_data(data_path: pathlib.Path, frames: int):
+def gen_data(data_path: pathlib.Path, frames: int, val_frames: int, stream: str):
     from scrubvae_tpu.data.pose_io import write_pose_h5
     from scrubvae_tpu.data.skeleton import load_skeleton
-    from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+    from scrubvae_tpu.data.synthetic import (
+        structured_pose_stream,
+        synthetic_pose_stream,
+    )
 
+    gen = structured_pose_stream if stream == "structured" else synthetic_pose_stream
     skel = load_skeleton(HERE / "configs" / "mouse_skeleton.yaml")
     data_path.mkdir(parents=True, exist_ok=True)
     shutil.copy(
         HERE / "configs" / "mouse_skeleton.yaml", data_path / "mouse_skeleton.yaml"
     )
-    for split, seed, n in (("train", 0, frames), ("val", 1, frames // 3)):
+    for split, seed, n in (("train", 0, frames), ("val", 1, val_frames)):
         d = data_path / "synthetic" / split
         d.mkdir(parents=True, exist_ok=True)
         if (d / "pose.h5").exists():
             continue
-        pose, ids = synthetic_pose_stream(skel, n_frames=n, n_ids=4, seed=seed)
+        pose, ids = gen(skel, n_frames=n, n_ids=4, seed=seed)
         write_pose_h5(d / "pose.h5", pose, ids)
-        print(f"wrote {d}/pose.h5 ({n} frames)")
+        print(f"wrote {d}/pose.h5 ({n} frames, {stream})")
 
 
 def run_config(cfg_path: pathlib.Path, out_root: pathlib.Path, epochs: int):
@@ -107,16 +111,36 @@ def main():
     ap.add_argument("--out", default="/tmp/ladder_runs")
     ap.add_argument("--data", default="/tmp/scrubvae_data")
     ap.add_argument("--frames", type=int, default=24000)
+    ap.add_argument(
+        "--val-frames", type=int, default=None,
+        help="val split frames (default frames//3); size it so the"
+        " window-stride-downsampled latents feed the QDA/CV metrics"
+        " with enough samples per class",
+    )
+    ap.add_argument(
+        "--stream", choices=("random", "structured"), default="random",
+        help="synthetic generator: 'structured' has real pose<->factor"
+        " mutual information (sane-regime demo, configs/sane)",
+    )
+    ap.add_argument(
+        "--config-dir", default=None,
+        help="config folder (default configs/ladder)",
+    )
+    ap.add_argument(
+        "--write-parity", action="store_true",
+        help="regenerate PARITY.md from this sweep (legacy r1 format)",
+    )
     ap.add_argument("--configs", nargs="*", default=["1", "2", "3", "4", "5"])
     args = ap.parse_args()
 
     data_path = pathlib.Path(args.data)
-    gen_data(data_path, args.frames)
+    gen_data(data_path, args.frames, args.val_frames or args.frames // 3, args.stream)
     out_root = pathlib.Path(args.out)
     out_root.mkdir(parents=True, exist_ok=True)
 
+    cfg_dir = pathlib.Path(args.config_dir) if args.config_dir else HERE / "configs" / "ladder"
     results = []
-    for cfg_path in sorted((HERE / "configs" / "ladder").glob("*.yaml")):
+    for cfg_path in sorted(cfg_dir.glob("*.yaml")):
         if cfg_path.stem[0] not in args.configs:
             continue
         print(f"=== {cfg_path.stem} ===", flush=True)
@@ -127,7 +151,8 @@ def main():
         print(json.dumps(results[-1]), flush=True)
         (out_root / "ladder_results.json").write_text(json.dumps(results, indent=1))
 
-    write_parity_md(results, args)
+    if args.write_parity:
+        write_parity_md(results, args)
 
 
 def write_parity_md(results, args):
