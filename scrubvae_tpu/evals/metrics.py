@@ -108,7 +108,20 @@ def log_class_rand_cv(z_train, y_train, z_test, y_test):
 def qda_rand_cv(z_train, y_train, z_test, y_test):
     from sklearn.discriminant_analysis import QuadraticDiscriminantAnalysis
 
-    clf = QuadraticDiscriminantAnalysis().fit(z_train, y_train.ravel())
+    try:
+        clf = QuadraticDiscriminantAnalysis().fit(z_train, y_train.ravel())
+    except ValueError as e:
+        if "full rank" not in str(e):
+            raise
+        # VAE latents always carry collapsed (near-constant) dims, which
+        # make the per-class covariance singular; modern sklearn raises
+        # where the reference's era warned and carried on
+        # (reference qda_rand_cv, eval/metrics.py:283-287). Retry with a
+        # small shrinkage so the metric reports a number instead of a nan
+        # fold (documented deviation; r1 VERDICT W2).
+        clf = QuadraticDiscriminantAnalysis(reg_param=1e-3).fit(
+            z_train, y_train.ravel()
+        )
     return (y_test.ravel() == clf.predict(z_test)).mean()
 
 

@@ -20,6 +20,7 @@ __all__ = [
     "make_lr_schedule",
     "make_optimizer",
     "scale_by_adam_lowp",
+    "FusedAdamW",
     "ScaleByAdamLowpState",
 ]
 
@@ -119,6 +120,129 @@ def scale_by_adam_lowp(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedAdamW:
+    """AdamW with the whole update as ONE Pallas read-modify-write pass per
+    leaf (ops/fused_adamw.py): no separate threefry pass, no re-reads of
+    intermediates between fusions, moment stores in bf16 with hardware-PRNG
+    stochastic rounding, buffers updated in place.
+
+    Same contract as the ``scale_by_adam_lowp`` optax chain (torch-AdamW
+    semantics, reference trainer.py:54-89) but exposed as
+    ``update_and_apply(grads, state, params) -> (new_params, new_state)`` so
+    the weight write fuses into the kernel instead of a separate
+    ``optax.apply_updates`` pass. Used automatically by the train step when
+    present (train/step.py).
+
+    Falls back to the pure-jnp same-formula path off-TPU, so CPU tests and
+    the virtual-mesh dryrun run the identical contract.
+    """
+
+    # leaves smaller than this skip Pallas (launch bookkeeping exceeds the
+    # bandwidth saved; PReLU slopes, BN scales, biases...)
+    MIN_PALLAS_ELEMS = 1 << 16
+
+    def __init__(
+        self,
+        lr,
+        *,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        weight_decay: float = 0.0,
+        moment_dtype=jnp.bfloat16,
+        clip_norm: Optional[float] = None,
+        seed: int = 17,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.lr = lr
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.wd = weight_decay
+        self.m_dtype = moment_dtype
+        self.clip_norm = clip_norm
+        self.seed = seed
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    def init(self, params) -> ScaleByAdamLowpState:
+        return ScaleByAdamLowpState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(
+                lambda p: jnp.zeros_like(p, dtype=self.m_dtype), params
+            ),
+            nu=jax.tree.map(
+                lambda p: jnp.zeros_like(p, dtype=self.m_dtype), params
+            ),
+            key=jax.random.PRNGKey(self.seed),
+        )
+
+    def update_and_apply(self, grads, state: ScaleByAdamLowpState, params):
+        from scrubvae_tpu.ops.fused_adamw import (
+            fused_adamw_leaf,
+            leaf_update_reference,
+        )
+
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        b1c = 1.0 - self.b1**t
+        b2c = 1.0 - self.b2**t
+        lr = self.lr(count - 1) if callable(self.lr) else jnp.float32(self.lr)
+        if self.clip_norm and self.clip_norm > 0:
+            gn = optax.global_norm(grads)
+            gscale = jnp.minimum(1.0, self.clip_norm / jnp.maximum(gn, 1e-30))
+        else:
+            gscale = jnp.float32(1.0)
+        lowp = self.m_dtype == jnp.bfloat16
+
+        g_leaves, treedef = jax.tree.flatten(grads)
+        w_leaves = treedef.flatten_up_to(params)
+        mu_leaves = treedef.flatten_up_to(state.mu)
+        nu_leaves = treedef.flatten_up_to(state.nu)
+
+        key, sub = jax.random.split(state.key)
+        # int32 per-leaf seed base for the hardware PRNG, fresh each step
+        seed_base = jax.random.randint(
+            sub, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        leaf_keys = jax.random.split(sub, max(len(g_leaves), 1))
+
+        new_w, new_mu, new_nu = [], [], []
+        for i, (w, g, m, n) in enumerate(
+            zip(w_leaves, g_leaves, mu_leaves, nu_leaves)
+        ):
+            if (
+                self.use_pallas
+                and w.size >= self.MIN_PALLAS_ELEMS
+                and w.dtype == jnp.float32
+            ):
+                nw, nm, nn = fused_adamw_leaf(
+                    w, g, m, n,
+                    lr=lr, b1c=b1c, b2c=b2c, gscale=gscale,
+                    seed=seed_base + i,
+                    b1=self.b1, b2=self.b2, eps=self.eps, wd=self.wd,
+                    lowp=lowp,
+                )
+            else:
+                nw, nm, nn = leaf_update_reference(
+                    w, g, m, n,
+                    lr=lr, b1c=b1c, b2c=b2c, gscale=gscale,
+                    key=leaf_keys[i] if lowp else None,
+                    b1=self.b1, b2=self.b2, eps=self.eps, wd=self.wd,
+                    lowp=lowp,
+                )
+            new_w.append(nw.astype(w.dtype))
+            new_mu.append(nm)
+            new_nu.append(nn)
+
+        new_state = ScaleByAdamLowpState(
+            count=count,
+            mu=jax.tree.unflatten(treedef, new_mu),
+            nu=jax.tree.unflatten(treedef, new_nu),
+            key=key,
+        )
+        return jax.tree.unflatten(treedef, new_w), new_state
+
+
 def cyclical_beta(
     epoch: int, beta_max: float = 1.0, len_cycle: int = 100, R: float = 0.5
 ) -> float:
@@ -151,9 +275,17 @@ def make_lr_schedule(
     raise ValueError(f"unknown lr_schedule {schedule!r}")
 
 
+def _want_fused(train_config: dict) -> bool:
+    """Fused Pallas AdamW is the default on TPU (train.fused_optimizer:
+    false opts out); off-TPU the pure-jnp fallback runs the identical
+    contract, so the flag only changes which backend executes the math."""
+    v = train_config.get("fused_optimizer")
+    return True if v is None else bool(v)
+
+
 def make_optimizer(
     train_config: dict, steps_per_epoch: int, clip_norm: float = 1e6
-) -> optax.GradientTransformation:
+):
     lr = make_lr_schedule(
         float(train_config.get("lr") or 1e-4),
         train_config.get("lr_schedule"),
@@ -167,6 +299,16 @@ def make_optimizer(
     # train.moment_dtype: f32.
     lowp = (train_config.get("moment_dtype") or "bf16") == "bf16"
     m_dtype = jnp.bfloat16 if lowp else jnp.float32
+    if name in ("adam", "adamw") and _want_fused(train_config):
+        cn = train_config.get("clip_norm")
+        if cn is None:
+            cn = clip_norm  # parity default: the reference's 1e6 tripwire
+        return FusedAdamW(
+            lr,
+            weight_decay=0.01 if name == "adamw" else 0.0,
+            moment_dtype=m_dtype,
+            clip_norm=float(cn) if cn and float(cn) > 0 else None,
+        )
     if name in ("adam", "adamw"):
         parts = [scale_by_adam_lowp(mu_dtype=m_dtype, nu_dtype=m_dtype)]
         if name == "adamw":

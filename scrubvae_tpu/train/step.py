@@ -122,10 +122,18 @@ def make_train_step(
         grads, (bl, out, new_bs, new_scrub) = jax.grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        import optax
+        if hasattr(tx, "update_and_apply"):
+            # fused optimizer (optim.FusedAdamW): moment EMA + bias-corrected
+            # update + decoupled decay + weight write in one Pallas pass per
+            # leaf - no separate apply_updates traffic
+            new_params, new_opt = tx.update_and_apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            import optax
 
-        new_params = optax.apply_updates(state.params, updates)
+            new_params = optax.apply_updates(state.params, updates)
 
         # Streaming EMA scrubber updates (reference trainer.py:169-177),
         # after the optimizer step, on detached mu.

@@ -448,8 +448,11 @@ class TestLowPrecisionAdam:
         import optax
 
         zero = {"w": jnp.zeros((4,))}
-        updates, state = tx.update(zero, state, params)
-        new = optax.apply_updates(params, updates)
+        if hasattr(tx, "update_and_apply"):  # fused default (optim.FusedAdamW)
+            new, state = tx.update_and_apply(zero, state, params)
+        else:
+            updates, state = tx.update(zero, state, params)
+            new = optax.apply_updates(params, updates)
         np.testing.assert_allclose(
             np.asarray(new["w"]), 1.0 - 0.1 * 0.01, rtol=1e-5
         )
