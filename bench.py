@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(batch: int, window: int, z_dim: int, ch, small: bool):
+def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = True,
+          bf16_params: bool = False):
     from scrubvae_tpu import factory
     from scrubvae_tpu.data.dataset import StreamDataset
     from scrubvae_tpu.data.pipeline import build_frame_store
@@ -95,6 +96,8 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool):
             "donate": True,
             # 1e6-clip is a no-op tripwire; skip the extra full-grad read
             "clip_norm": 0,
+            "fused_optimizer": fused,
+            "param_dtype": "bf16" if bf16_params else "f32",
         },
         "loss": {
             "rotation": 1.0,
@@ -151,12 +154,21 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--small", action="store_true", help="tiny model (CPU smoke)")
+    ap.add_argument(
+        "--no-fused", action="store_true",
+        help="disable the Pallas fused AdamW (A/B attribution)",
+    )
+    ap.add_argument(
+        "--bf16-params", action="store_true",
+        help="bf16 storage for large kernels (train.param_dtype: bf16)",
+    )
     args = ap.parse_args()
 
     ch = (8, 8, 16, 16, 32) if args.small else (64, 128, 256, 512, 1024)
     batch = 16 if args.small else args.batch
 
-    trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small)
+    trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small,
+                        fused=not args.no_fused, bf16_params=args.bf16_params)
     loss_scale = trainer.loss_scale_for_epoch(1)
     n = len(ds)
     rng = np.random.default_rng(0)

@@ -60,7 +60,7 @@ def _sround_bits(x: Array, noise16: Array) -> Array:
     return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
 
 
-def _kernel(lowp: bool):
+def _kernel(lowp: bool, w_lowp: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(scal_ref, seed_ref, w_ref, g_ref, mu_ref, nu_ref,
@@ -76,19 +76,29 @@ def _kernel(lowp: bool):
         b2c = scal_ref[6]
         gscale = scal_ref[7]  # global-norm clip factor (1.0 when off)
 
-        g = g_ref[:].astype(jnp.float32) * gscale
-        m = b1 * mu_ref[:].astype(jnp.float32) + (1.0 - b1) * g
-        n = b2 * nu_ref[:].astype(jnp.float32) + (1.0 - b2) * (g * g)
-        upd = (m / b1c) / (jnp.sqrt(jnp.maximum(n, 0.0) / b2c) + eps)
-        w = w_ref[:]
-        w_out[:] = w - lr * (upd + wd * w)
-        if lowp:
+        if lowp or w_lowp:
             # one hardware-PRNG stream per grid cell
             pltpu.prng_seed(
                 seed_ref[0]
                 + pl.program_id(0) * pl.num_programs(1)
                 + pl.program_id(1)
             )
+
+        g = g_ref[:].astype(jnp.float32) * gscale
+        m = b1 * mu_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+        n = b2 * nu_ref[:].astype(jnp.float32) + (1.0 - b2) * (g * g)
+        upd = (m / b1c) / (jnp.sqrt(jnp.maximum(n, 0.0) / b2c) + eps)
+        w = w_ref[:].astype(jnp.float32)
+        new_w = w - lr * (upd + wd * w)
+        if w_lowp:
+            # bf16 parameter store: the per-step increment (lr*update, ~1e-4
+            # of |w|) is far below bf16's ulp, so round-to-nearest would
+            # freeze the weights - stochastic rounding keeps them integrating
+            wbits = pltpu.bitcast(pltpu.prng_random_bits(w.shape), jnp.uint32)
+            w_out[:] = _sround_bits(new_w, wbits & jnp.uint32(0xFFFF))
+        else:
+            w_out[:] = new_w
+        if lowp:
             mbits = pltpu.bitcast(pltpu.prng_random_bits(m.shape), jnp.uint32)
             nbits = pltpu.bitcast(pltpu.prng_random_bits(n.shape), jnp.uint32)
             mu_out[:] = _sround_bits(m, mbits & jnp.uint32(0xFFFF))
@@ -132,6 +142,7 @@ def fused_adamw_leaf(
 
     shape, dtype = w.shape, w.dtype
     m_dtype = mu.dtype
+    w_lowp = dtype == jnp.bfloat16
 
     # Normalize to 2-D: collapse leading dims (layout-preserving for the
     # row-major leaves flax produces); 1-D leaves become a single row.
@@ -165,7 +176,7 @@ def fused_adamw_leaf(
         (br, bc), lambda i, j, *_refs: (i, j), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _kernel(lowp),
+        _kernel(lowp, w_lowp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -173,14 +184,16 @@ def fused_adamw_leaf(
             out_specs=[block(), block(), block()],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((R, C), jnp.float32),
+            jax.ShapeDtypeStruct((R, C), dtype),
             jax.ShapeDtypeStruct((R, C), m_dtype),
             jax.ShapeDtypeStruct((R, C), m_dtype),
         ],
         # in-place: w, mu, nu (operand indices count the scalar-prefetch
         # args first: scal=0, seed=1, w=2, g=3, mu=4, nu=5)
         input_output_aliases={2: 0, 4: 1, 5: 2},
-        interpret=interpret,
+        # InterpretParams (not plain interpret=True): the TPU-interpret mode
+        # implements pltpu.prng_seed/prng_random_bits on CPU
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(scal, seed_arr, w2, g2, mu2, nu2)
     new_w, new_mu, new_nu = out
     return (
@@ -199,18 +212,26 @@ def leaf_update_reference(
     Uses threefry noise instead of the TPU hardware PRNG; statistically
     identical, bitwise different streams.
     """
+    w_lowp = w.dtype == jnp.bfloat16
     g = g.astype(jnp.float32) * gscale
     m = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
     n = b2 * nu.astype(jnp.float32) + (1.0 - b2) * (g * g)
     upd = (m / b1c) / (jnp.sqrt(jnp.maximum(n, 0.0) / b2c) + eps)
-    new_w = w - lr * (upd + wd * w)
+    wf = w.astype(jnp.float32)
+    new_w = wf - lr * (upd + wd * wf)
+    if not (lowp or w_lowp):
+        return new_w, m, n
+    km, kn, kw = jax.random.split(key, 3)
+
+    def noise(k, shape):
+        return jax.random.randint(
+            k, shape, 0, jnp.uint32(1 << 16), dtype=jnp.uint32
+        )
+
+    if w_lowp:
+        new_w = _sround_bits(new_w, noise(kw, new_w.shape))
     if lowp:
-        km, kn = jax.random.split(key)
-        noise_m = jax.random.randint(
-            km, m.shape, 0, jnp.uint32(1 << 16), dtype=jnp.uint32
+        return new_w, _sround_bits(m, noise(km, m.shape)), _sround_bits(
+            n, noise(kn, n.shape)
         )
-        noise_n = jax.random.randint(
-            kn, n.shape, 0, jnp.uint32(1 << 16), dtype=jnp.uint32
-        )
-        return new_w, _sround_bits(m, noise_m), _sround_bits(n, noise_n)
     return new_w, m, n

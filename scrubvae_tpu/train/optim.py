@@ -213,7 +213,7 @@ class FusedAdamW:
             if (
                 self.use_pallas
                 and w.size >= self.MIN_PALLAS_ELEMS
-                and w.dtype == jnp.float32
+                and w.dtype in (jnp.float32, jnp.bfloat16)
             ):
                 nw, nm, nn = fused_adamw_leaf(
                     w, g, m, n,
@@ -223,10 +223,11 @@ class FusedAdamW:
                     lowp=lowp,
                 )
             else:
+                need_key = lowp or w.dtype == jnp.bfloat16
                 nw, nm, nn = leaf_update_reference(
                     w, g, m, n,
                     lr=lr, b1c=b1c, b2c=b2c, gscale=gscale,
-                    key=leaf_keys[i] if lowp else None,
+                    key=leaf_keys[i] if need_key else None,
                     b1=self.b1, b2=self.b2, eps=self.eps, wd=self.wd,
                     lowp=lowp,
                 )

@@ -74,6 +74,7 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
+        params = self._maybe_lowp_params(params)
 
         self.scrub_state, self.adv_bundle = factory.init_scrub_state(
             scrub_rng,
@@ -100,6 +101,12 @@ class Trainer:
             )
 
         opt_state = self.tx.init(params)
+        if self._param_dtype_lowp() and not isinstance(self.tx, optim.FusedAdamW):
+            raise ValueError(
+                "train.param_dtype: bf16 requires the fused optimizer "
+                "(stochastically-rounded weight stores); remove "
+                "fused_optimizer: false or param_dtype"
+            )
         self.state = TrainState.create(
             params=params,
             batch_stats=batch_stats,
@@ -198,6 +205,29 @@ class Trainer:
         return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in scale.items()}
 
     # -- epochs -----------------------------------------------------------
+
+    def _param_dtype_lowp(self) -> bool:
+        return (self.train_cfg.get("param_dtype") or "f32") == "bf16"
+
+    def _maybe_lowp_params(self, params):
+        """Opt-in bf16 storage for the large kernels (train.param_dtype:
+        bf16): halves the weight-read traffic of the fwd/bwd matmuls and
+        the optimizer pass on the bandwidth-bound flagship step. The
+        fused optimizer keeps these integrating via stochastically-rounded
+        weight stores (ops/fused_adamw.py); small leaves (biases, norm
+        scales, PReLU slopes) stay f32. Requires model.precision bf16
+        (compute already happens in bf16, so the forward is unchanged up
+        to the storage rounding). Documented deviation - off by default."""
+        if not self._param_dtype_lowp():
+            return params
+        threshold = optim.FusedAdamW.MIN_PALLAS_ELEMS
+
+        def conv(p):
+            if p.dtype == jnp.float32 and p.size >= threshold:
+                return p.astype(jnp.bfloat16)
+            return p
+
+        return jax.tree.map(conv, params)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         loss_scale = self.loss_scale_for_epoch(epoch)

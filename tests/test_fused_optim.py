@@ -143,6 +143,77 @@ def test_make_optimizer_returns_fused_by_default():
     assert isinstance(tx3, optim.FusedAdamW) and tx3.clip_norm is None
 
 
+def test_bf16_param_store_integrates_small_updates():
+    """With bf16 weight storage, per-step increments far below bf16's ulp
+    must still integrate via stochastic rounding (round-to-nearest would
+    freeze the weights entirely)."""
+    w = jnp.full((512,), 1.0, jnp.bfloat16)
+    mu = jnp.zeros((512,), jnp.float32)
+    nu = jnp.zeros((512,), jnp.float32)
+    g = jnp.full((512,), 1.0, jnp.float32)
+    # lr 1e-4 -> per-step weight delta ~1e-4, bf16 ulp at 1.0 is ~7.8e-3
+    for t in range(1, 201):
+        w, mu, nu = leaf_update_reference(
+            w, g, mu, nu,
+            lr=jnp.float32(1e-4), b1c=1.0 - 0.9**t, b2c=1.0 - 0.999**t,
+            gscale=jnp.float32(1.0), key=jax.random.PRNGKey(t), lowp=False,
+        )
+    drift = 1.0 - float(w.astype(jnp.float32).mean())
+    # Adam with constant grad moves ~lr per step -> ~0.02 over 200 steps
+    assert 0.01 < drift < 0.04, drift
+
+
+def test_pallas_interpret_bf16_weight_path():
+    """Kernel w_lowp path (interpret mode): output dtype bf16 and the mean
+    update matches the f32 math to within SR noise."""
+    w = jnp.full((8, 128), 0.5, jnp.bfloat16)
+    g = jnp.full((8, 128), 2.0, jnp.float32)
+    mu = jnp.full((8, 128), 2.0, jnp.float32)
+    nu = jnp.full((8, 128), 4.0, jnp.float32)
+    kw = dict(lr=jnp.float32(1e-2), b1c=1.0, b2c=1.0,
+              gscale=jnp.float32(1.0), wd=0.0, lowp=False)
+    w_k, _, _ = fused_adamw_leaf(
+        w, g, mu, nu, seed=jnp.int32(11), interpret=True, **kw
+    )
+    assert w_k.dtype == jnp.bfloat16
+    # update = (2/1)/(sqrt(4/1)+eps) = 1.0 -> w = 0.5 - 1e-2 = 0.49.
+    # Interpret-mode prng_random_bits yields zero noise (rounds toward
+    # zero), so allow one bf16 ulp (~2e-3 at 0.5); the real-TPU SR
+    # statistics are checked in the hardware smoke (see commit log).
+    got = float(w_k.astype(jnp.float32).mean())
+    assert abs(got - 0.49) < 4e-3, got
+
+
+def test_trainer_bf16_param_dtype(tmp_path, monkeypatch):
+    """train.param_dtype: bf16 converts only the large kernels and trains
+    finitely end-to-end through the fused optimizer fallback."""
+    from tests.test_train import ARENA, SKEL, base_config, run_config
+    from scrubvae_tpu.data.dataset import StreamDataset
+    from scrubvae_tpu.data.pipeline import build_frame_store
+    from scrubvae_tpu.data.synthetic import synthetic_pose_stream
+
+    # the smoke model's leaves are all tiny; lower the big-leaf threshold
+    # so the conversion path (and its small-leaf exclusion) is exercised
+    monkeypatch.setattr(optim.FusedAdamW, "MIN_PALLAS_ELEMS", 1 << 8)
+
+    pose, ids = synthetic_pose_stream(SKEL, n_frames=300, n_ids=2, seed=0)
+    store = build_frame_store(pose, ids, SKEL, window=31, stride=2)
+    ds = StreamDataset(
+        store, SKEL,
+        ("x6d", "root", "offsets", "target_pose", "avg_speed_3d", "heading",
+         "ids"),
+        "midfwd", arena_size=ARENA,
+        discrete_classes={"ids": np.unique(ids)},
+    )
+    cfg = base_config(tmp_path)
+    cfg["train"]["optimizer"] = "adamw"
+    cfg["train"]["param_dtype"] = "bf16"
+    tr, metrics = run_config(cfg, ds, epochs=1)
+    assert np.isfinite(metrics["total_train"])
+    dtypes = {str(p.dtype) for p in jax.tree.leaves(tr.state.params)}
+    assert "bfloat16" in dtypes and "float32" in dtypes
+
+
 def test_trainer_step_with_fused_optimizer(tmp_path):
     """A real jitted train epoch drives FusedAdamW end-to-end (jnp fallback
     on CPU): loss finite, opt count advances, checkpoint state round-trips."""
