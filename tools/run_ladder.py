@@ -76,7 +76,7 @@ def run_config(cfg_path: pathlib.Path, out_root: pathlib.Path, epochs: int):
         ],
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=10800,
     )
     wall = time.time() - t0
     if proc.returncode != 0:

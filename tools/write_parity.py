@@ -184,6 +184,50 @@ def differential_section(refbase: pathlib.Path):
     return lines
 
 
+def salvage_from_csv(results, run_root: pathlib.Path):
+    """Reconstruct entries for configs whose subprocess died (e.g. wall-time
+    limit) from their metrics.csv - same row-selection rule as
+    run_ladder.run_config (last row + last row carrying *_test metrics)."""
+    import csv
+
+    out = []
+    for r in results:
+        if "error" not in r:
+            out.append(r)
+            continue
+        csv_path = run_root / r["config"] / "metrics.csv"
+        if not csv_path.exists():
+            out.append(r)
+            continue
+        rows = list(csv.DictReader(open(csv_path)))
+        if not rows:
+            out.append(r)
+            continue
+        last = rows[-1]
+        eval_row = next(
+            (row for row in reversed(rows)
+             if any(k.endswith("_test") and row.get(k) for k in row)),
+            None,
+        )
+        sel = {
+            "config": r["config"],
+            "epochs": int(last["epoch"]),
+            "note": "wall-limit; last eval row epoch "
+            + (eval_row["epoch"] if eval_row else "n/a"),
+        }
+        for k in ("total_train", "rotation_train", "jpe_train", "root_train",
+                  "prior_train", "mcmi_train", "time"):
+            if last.get(k):
+                sel[k] = float(last[k])
+        if eval_row:
+            for k, v in eval_row.items():
+                if v and (k.endswith("_test") or k.startswith("r2_")
+                          or k.startswith("acc_")):
+                    sel[k] = float(v)
+        out.append(sel)
+    return out
+
+
 def ladder_table(results, title, intro):
     lines = [title, "", *intro, ""]
     all_keys = []
@@ -233,6 +277,7 @@ def main():
 
     if args.sane.exists():
         results = json.loads(args.sane.read_text())
+        results = salvage_from_csv(results, args.sane.parent / "ladder")
         lines += ladder_table(
             results,
             "## 2. Sane-regime ladder (structured stream, x360, TPU)",
@@ -268,6 +313,15 @@ def main():
         "- **bf16-stored Adam moments with stochastic rounding** (default;",
         "  `train.moment_dtype: f32` opts out). The differential runs in §1",
         "  use f32 moments to isolate model/loss semantics.",
+        "- **Fused Pallas AdamW** (default for adam/adamw on TPU;",
+        "  `train.fused_optimizer: false` opts out): same torch-AdamW formula,",
+        "  moment EMA + bias correction + decoupled decay + weight write in one",
+        "  read-modify-write pass per leaf (`ops/fused_adamw.py`); contract",
+        "  tests pin it to the optax chain (tests/test_fused_optim.py).",
+        "- **QDA decodability fallback**: when posterior-collapsed latent dims",
+        "  make a class covariance singular, `qda_rand_cv` retries with",
+        "  `reg_param=1e-3` (modern sklearn raises where the reference's era",
+        "  warned); fold-failure counts are reported as `*_nanfolds`.",
         "- **QDA likelihood via `slogdet` + f32 solve** stays finite where the",
         "  reference's `torch.logdet` NaNs on numerically singular streaming",
         "  covariances (§1 cfg5).",
