@@ -133,36 +133,63 @@ def lda_rand_cv(z_train, y_train, z_test, y_test):
     return (y_test.ravel() == clf.predict(z_test)).mean()
 
 
-def train_mlp_probe(z, y, num_epochs: int = 200, lr: float = 1e-3, seed: int = 0):
-    """Full-batch AdamW MLP regression probe in JAX (replaces the reference's
-    torch-on-cuda train_MLP, metrics.py:307-329)."""
+@functools.lru_cache(maxsize=None)
+def _probe_fns(out_dim: int, num_epochs: int, lr: float):
+    """Cached jitted (fit, predict) pair for the MLP probe.
+
+    One ``lax.scan`` over the full-batch AdamW epochs means ONE device
+    dispatch per fold instead of ``num_epochs`` sequential ones, and the
+    module-level cache means each (out_dim, fold-shape) compiles once per
+    process instead of once per call — on a high-latency device link
+    (axon tunnel) this is the difference between minutes and seconds per
+    decodability eval epoch."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from scrubvae_tpu.models.scrubbers import MLP
 
-    z = jnp.asarray(z)
-    y = jnp.asarray(y, dtype=jnp.float32)
-    model = MLP(y.shape[-1])
-    params = model.init(jax.random.PRNGKey(seed), z[:1])
+    model = MLP(out_dim)
     tx = optax.adamw(lr)
-    opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state):
-        def loss_fn(p):
-            return jnp.sum((model.apply(p, z) - y) ** 2)
+    def fit(z, y, seed):
+        params = model.init(jax.random.PRNGKey(seed), z[:1])
+        opt_state = tx.init(params)
 
-        grads = jax.grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+        def body(carry, _):
+            params, opt_state = carry
 
-    for _ in range(num_epochs):
-        params, opt_state = step(params, opt_state)
+            def loss_fn(p):
+                return jnp.sum((model.apply(p, z) - y) ** 2)
 
-    predict = jax.jit(lambda x: model.apply(params, x))
-    return predict
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), None
+
+        (params, _), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=num_epochs
+        )
+        return params
+
+    @jax.jit
+    def predict(params, x):
+        return model.apply(params, x)
+
+    return fit, predict
+
+
+def train_mlp_probe(z, y, num_epochs: int = 200, lr: float = 1e-3, seed: int = 0):
+    """Full-batch AdamW MLP regression probe in JAX (replaces the reference's
+    torch-on-cuda train_MLP, metrics.py:307-329); scanned + process-cached
+    jit so each fold costs one dispatch."""
+    import jax.numpy as jnp
+
+    z = jnp.asarray(z)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    fit, predict = _probe_fns(int(y.shape[-1]), num_epochs, lr)
+    params = fit(z, y, seed)
+    return lambda x: predict(params, x)
 
 
 @rand_cv
