@@ -58,6 +58,7 @@ def scale_by_adam_lowp(
     mu_dtype=jnp.bfloat16,
     nu_dtype=jnp.bfloat16,
     seed: int = 17,
+    lowp_min_elems: int = 0,
 ) -> optax.GradientTransformation:
     """Adam scaling with reduced-precision, stochastically-rounded moment
     storage.
@@ -73,13 +74,31 @@ def scale_by_adam_lowp(
     cost ~540MB of read+write there, bf16 halves it. Deviation from the
     reference's f32 torch Adam documented in PARITY.md; long-horizon drift
     regression in tests/test_train.py.
+
+    ``lowp_min_elems``: leaves below this element count store f32 regardless
+    of ``mu_dtype``/``nu_dtype`` — their HBM traffic is negligible while the
+    threefry stochastic-rounding draw is pure overhead (~30% of the flagship
+    step when applied to every leaf; bench A/B, r2). Defaults to 0 (apply the
+    dtypes everywhere) so unit tests can exercise SR on tiny leaves;
+    ``make_optimizer`` passes the production threshold.
     """
+
+    def _dtype_for(p, want):
+        if want == jnp.bfloat16 and p.size < lowp_min_elems:
+            return jnp.float32
+        return want
 
     def init_fn(params):
         return ScaleByAdamLowpState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mu_dtype), params),
-            nu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=nu_dtype), params),
+            mu=jax.tree.map(
+                lambda p: jnp.zeros_like(p, dtype=_dtype_for(p, mu_dtype)),
+                params,
+            ),
+            nu=jax.tree.map(
+                lambda p: jnp.zeros_like(p, dtype=_dtype_for(p, nu_dtype)),
+                params,
+            ),
             key=jax.random.PRNGKey(seed),
         )
 
@@ -93,7 +112,8 @@ def scale_by_adam_lowp(
         nu_keys = jax.tree.unflatten(treedef, list(subkeys[len(leaves) :]))
         mu = jax.tree.map(
             lambda g, m, k: _store(
-                b1 * m.astype(jnp.float32) + (1.0 - b1) * g, mu_dtype, k
+                b1 * m.astype(jnp.float32) + (1.0 - b1) * g,
+                _dtype_for(g, mu_dtype), k,
             ),
             updates,
             state.mu,
@@ -101,7 +121,8 @@ def scale_by_adam_lowp(
         )
         nu = jax.tree.map(
             lambda g, v, k: _store(
-                b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g), nu_dtype, k
+                b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g),
+                _dtype_for(g, nu_dtype), k,
             ),
             updates,
             state.nu,
@@ -138,7 +159,14 @@ class FusedAdamW:
     """
 
     # leaves smaller than this skip Pallas (launch bookkeeping exceeds the
-    # bandwidth saved; PReLU slopes, BN scales, biases...)
+    # bandwidth saved; PReLU slopes, BN scales, biases...). The SAME
+    # threshold gates bf16 moment storage: below it the HBM saving is
+    # negligible while the stochastic-rounding PRNG is pure overhead — on
+    # the XLA fallback path a threefry draw per moment element per step
+    # measured ~30% of the whole flagship train step (bench A/B, r2), so
+    # small leaves keep f32 moments (exact, key-free) and only the large
+    # leaves — which on TPU run through the Pallas kernel with its nearly
+    # free hardware PRNG — store bf16.
     MIN_PALLAS_ELEMS = 1 << 16
 
     def __init__(
@@ -164,14 +192,23 @@ class FusedAdamW:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
 
+    def _leaf_lowp(self, p) -> bool:
+        """Per-leaf moment storage: bf16 only where it pays (see
+        MIN_PALLAS_ELEMS comment); backend-independent so checkpointed
+        optimizer state has the same dtypes on CPU and TPU."""
+        return self.m_dtype == jnp.bfloat16 and p.size >= self.MIN_PALLAS_ELEMS
+
+    def _leaf_m_dtype(self, p):
+        return jnp.bfloat16 if self._leaf_lowp(p) else jnp.float32
+
     def init(self, params) -> ScaleByAdamLowpState:
         return ScaleByAdamLowpState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(
-                lambda p: jnp.zeros_like(p, dtype=self.m_dtype), params
+                lambda p: jnp.zeros_like(p, dtype=self._leaf_m_dtype(p)), params
             ),
             nu=jax.tree.map(
-                lambda p: jnp.zeros_like(p, dtype=self.m_dtype), params
+                lambda p: jnp.zeros_like(p, dtype=self._leaf_m_dtype(p)), params
             ),
             key=jax.random.PRNGKey(self.seed),
         )
@@ -192,8 +229,6 @@ class FusedAdamW:
             gscale = jnp.minimum(1.0, self.clip_norm / jnp.maximum(gn, 1e-30))
         else:
             gscale = jnp.float32(1.0)
-        lowp = self.m_dtype == jnp.bfloat16
-
         g_leaves, treedef = jax.tree.flatten(grads)
         w_leaves = treedef.flatten_up_to(params)
         mu_leaves = treedef.flatten_up_to(state.mu)
@@ -210,6 +245,7 @@ class FusedAdamW:
         for i, (w, g, m, n) in enumerate(
             zip(w_leaves, g_leaves, mu_leaves, nu_leaves)
         ):
+            lowp = self._leaf_lowp(w)
             if (
                 self.use_pallas
                 and w.size >= self.MIN_PALLAS_ELEMS
@@ -311,7 +347,10 @@ def make_optimizer(
             clip_norm=float(cn) if cn and float(cn) > 0 else None,
         )
     if name in ("adam", "adamw"):
-        parts = [scale_by_adam_lowp(mu_dtype=m_dtype, nu_dtype=m_dtype)]
+        parts = [scale_by_adam_lowp(
+            mu_dtype=m_dtype, nu_dtype=m_dtype,
+            lowp_min_elems=FusedAdamW.MIN_PALLAS_ELEMS,
+        )]
         if name == "adamw":
             # torch.optim.AdamW default weight_decay (reference
             # trainer.py:65 uses torch defaults)
