@@ -378,6 +378,15 @@ def data_and_model(
     else:
         val_keys = list(data_keys)
 
+    # window is a model-section key (reference params/param_keys.py:30) but
+    # is also accepted under data; resolve ONE value here and thread it to
+    # both the loaders and build_model so they can never silently disagree
+    # (a data-section-only window used to leave the model at its 51 default
+    # and fail deep inside the loss with a shape error).
+    window = (
+        config["model"].get("window") or config["data"].get("window") or 51
+    )
+
     datasets = {}
     for label in train_val_test:
         keys = val_keys if label == "val" else list(data_keys)
@@ -385,11 +394,12 @@ def data_and_model(
             config["data"],
             train_val_test=label,
             data_keys=keys,
-            window=config["model"].get("window"),
+            window=window,
         )
 
     first = datasets[list(train_val_test)[0]]
     model_config = dict(config["model"])
+    model_config["window"] = window
     if config.get("train", {}).get("precision"):
         model_config.setdefault("precision", config["train"]["precision"])
     model, info = build_model(

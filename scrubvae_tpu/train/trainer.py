@@ -53,6 +53,10 @@ class Trainer:
 
         data_cfg = config["data"]
         self.batch_size = int(data_cfg.get("batch_size") or 256)
+        # Tiny datasets: a batch size above len(train) would yield zero
+        # batches per epoch (drop_last) and silently log no train metrics;
+        # clamp so one full-dataset batch always runs.
+        self.batch_size = max(1, min(self.batch_size, len(datasets["train"])))
         self.loss_cfg = dict(config.get("loss") or {})
         self.dis_cfg = config["disentangle"]
         self.train_cfg = config["train"]
@@ -141,13 +145,17 @@ class Trainer:
             adv_fit=bool(self.dis_cfg.get("adv_fit", True)),
             adv_n_iter=int(self.dis_cfg.get("n_iter") or 5),
             batch_fn=self._batch_fn(self.train_ds),
-            donate=bool(self.train_cfg.get("donate", True)),
+            # None = PARAM_KEYS-filled "unset" (params/read.py) — default on
+            donate=self.train_cfg.get("donate") is not False,
             **common,
         )
         self.train_step = make_train_step(self.model, self.tx, tree, **step_kwargs)
         # Device-resident batch loop (one dispatch per epoch); opt out with
         # train.scan_epoch: false to step batch-by-batch from the host.
-        self.use_scan_epoch = bool(self.train_cfg.get("scan_epoch", True))
+        # PARAM_KEYS fill writes None for unset keys (params/read.py), which
+        # must mean "default on" — only an explicit false opts out.
+        _scan = self.train_cfg.get("scan_epoch")
+        self.use_scan_epoch = True if _scan is None else bool(_scan)
         self.train_epoch_fn = (
             make_train_epoch(self.model, self.tx, tree, **step_kwargs)
             if self.use_scan_epoch

@@ -184,6 +184,7 @@ def test_pallas_interpret_bf16_weight_path():
     assert abs(got - 0.49) < 4e-3, got
 
 
+@pytest.mark.slow
 def test_trainer_bf16_param_dtype(tmp_path, monkeypatch):
     """train.param_dtype: bf16 converts only the large kernels and trains
     finitely end-to-end through the fused optimizer fallback."""
@@ -214,6 +215,7 @@ def test_trainer_bf16_param_dtype(tmp_path, monkeypatch):
     assert "bfloat16" in dtypes and "float32" in dtypes
 
 
+@pytest.mark.slow
 def test_trainer_step_with_fused_optimizer(tmp_path):
     """A real jitted train epoch drives FusedAdamW end-to-end (jnp fallback
     on CPU): loss finite, opt count advances, checkpoint state round-trips."""

@@ -242,3 +242,58 @@ class TestPrecomputeParity:
                 np.testing.assert_allclose(
                     a[k], b[k], atol=2e-5, err_msg=f"{dp}/{k}"
                 )
+
+
+class TestWindowResolution:
+    """data_and_model resolves ONE window value shared by loaders and model,
+    whether the config carries it under model (reference convention,
+    params/param_keys.py:30) or under data."""
+
+    def _layout(self, tmp_path):
+        import shutil
+
+        from scrubvae_tpu.data.pose_io import write_pose_h5
+
+        shutil.copy("configs/mouse_skeleton.yaml", tmp_path / "mouse_skeleton.yaml")
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=2, seed=11)
+        write_pose_h5(tmp_path / "synthetic" / "train" / "pose.h5", pose, ids)
+
+    def _config(self, tmp_path, model_extra, data_extra):
+        return {
+            "data": {
+                "data_path": str(tmp_path) + "/",
+                "dataset": "synthetic",
+                "direction_process": "midfwd",
+                "arena_size": [[-300, -300, 0], [300, 300, 100]],
+                "remove_speed_outliers": False,
+                "stride": 5,
+                **data_extra,
+            },
+            "model": {"type": "mlp", "z_dim": 4, "hidden": [8], "diag": True,
+                      **model_extra},
+            "train": {}, "disentangle": {}, "loss": {},
+        }
+
+    def test_data_section_window_reaches_model(self, tmp_path):
+        from scrubvae_tpu import factory
+
+        self._layout(tmp_path)
+        cfg = self._config(tmp_path, {}, {"window": 31})
+        datasets, model, _ = factory.data_and_model(
+            cfg, train_val_test=("train",), data_keys=("x6d", "root", "offsets")
+        )
+        b = datasets["train"].batch(jnp.arange(2))
+        assert b["x6d"].shape[1] == 31
+        assert getattr(model, "window", 31) == 31
+
+    def test_model_section_window_wins(self, tmp_path):
+        from scrubvae_tpu import factory
+
+        self._layout(tmp_path)
+        cfg = self._config(tmp_path, {"window": 21}, {"window": 31})
+        datasets, model, _ = factory.data_and_model(
+            cfg, train_val_test=("train",), data_keys=("x6d", "root", "offsets")
+        )
+        b = datasets["train"].batch(jnp.arange(2))
+        assert b["x6d"].shape[1] == 21
+        assert getattr(model, "window", 21) == 21

@@ -227,6 +227,36 @@ class TestConfigReader:
         assert (tmp_path / "weights").is_dir()
         assert (tmp_path / "model_config.yaml").exists()
 
+    def test_param_keys_none_fill_keeps_default_on_flags(self, tmp_path, dataset):
+        """PARAM_KEYS fill writes None for unset keys; the trainer must read
+        None as "use the default", not as false — a None-filled scan_epoch
+        used to silently disable the device-resident epoch loop (and donate
+        likewise lost buffer donation) for every CLI run. Also: batch_size
+        above len(train) clamps so epochs can't yield zero (drop_last)
+        batches and log no train metrics."""
+        from scrubvae_tpu.params.param_keys import PARAM_KEYS
+
+        cfg = base_config(tmp_path)
+        cfg["data"]["batch_size"] = len(dataset) + 7
+        for section, keys in PARAM_KEYS.items():
+            cfg.setdefault(section, {})
+            for k in keys:
+                cfg[section].setdefault(k, None)
+        model, info = factory.build_model(
+            cfg["model"],
+            cfg["disentangle"],
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+        )
+        tr = Trainer(cfg, {"train": dataset}, model, info)
+        assert tr.use_scan_epoch is True
+        assert tr.train_epoch_fn is not None
+        assert tr.batch_size == len(dataset)
+        m = tr.train_epoch(1)
+        assert m and all(np.isfinite(v) for v in m.values())
+
 
 @pytest.mark.slow
 class TestScanEpochEquivalence:
