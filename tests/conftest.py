@@ -11,6 +11,17 @@ in its own process.)
 
 import os
 
+# Tests check semantics, not codegen quality: XLA:CPU's expensive backend
+# passes roughly double compile time on a 1-core host, and compile dominates
+# this suite's wall time. Skip them by default; SCRUBVAE_TEST_XLA_OPT=1
+# restores full optimization (e.g. when timing something in a test).
+if not os.environ.get("SCRUBVAE_TEST_XLA_OPT") and not os.environ.get(
+    "SCRUBVAE_TEST_TPU"
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
+    ).strip()
+
 # Tests always run on host CPU. Note the container exports
 # JAX_PLATFORMS=axon AND its sitecustomize force-registers the axon (TPU)
 # backend with jax_platforms='axon,cpu' regardless of the env var - so both

@@ -97,7 +97,12 @@ def make_trainer(tmp_path, n_frames=300):
 
 
 class TestMesh:
-    def test_sharded_step_matches_single_device(self, tmp_path):
+    def test_sharded_step_replica_invariance(self, tmp_path):
+        """One single-device step vs one 8-way-sharded step from identical
+        init: metrics, params, and streaming scrubber moments all agree.
+        (Merged from two tests that each paid both SPMD compiles — the
+        train-step compile dominates this file's runtime on a 1-core host.)
+        """
         tr, ds = make_trainer(tmp_path)
         mesh = make_mesh(8)
         idx = jnp.arange(16)
@@ -123,18 +128,6 @@ class TestMesh:
             np.testing.assert_allclose(
                 np.asarray(pa), np.asarray(pb), rtol=2e-3, atol=2e-5
             )
-
-    def test_scrubber_state_consistent_under_sharding(self, tmp_path):
-        tr, ds = make_trainer(tmp_path)
-        mesh = make_mesh(8)
-        idx = jnp.arange(16)
-        loss_scale = tr.loss_scale_for_epoch(1)
-        state_a, _ = tr.train_step(tr.state, idx, loss_scale)
-
-        tr2, _ = make_trainer(tmp_path)
-        state_sharded = replicate(tr2.state, mesh)
-        idx_sharded = jax.device_put(idx, NamedSharding(mesh, P("data")))
-        state_b, _ = tr2.train_step(state_sharded, idx_sharded, loss_scale)
 
         st_a = state_a.scrub_state["moving_avg_lsq"]["avg_speed_3d"]
         st_b = state_b.scrub_state["moving_avg_lsq"]["avg_speed_3d"]

@@ -23,6 +23,12 @@ def test_sharding_suite_under_8_virtual_devices():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["SCRUBVAE_TEST_DEVICES"] = "8"
     env["JAX_PLATFORMS"] = "cpu"
+    # These tests check SPMD *semantics* (replica invariance), not codegen
+    # quality: skip XLA:CPU's expensive backend passes to keep the default
+    # tier's wall time down on a 1-core host.
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
+    ).strip()
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
          str(HERE / "test_sharding.py")],
@@ -36,5 +42,5 @@ def test_sharding_suite_under_8_virtual_devices():
         f"sharding tests failed\n--- stdout ---\n{proc.stdout[-4000:]}"
         f"\n--- stderr ---\n{proc.stderr[-4000:]}"
     )
-    # all three tests must actually have run (not self-skipped)
-    assert "3 passed" in proc.stdout, proc.stdout[-2000:]
+    # both tests must actually have run (not self-skipped)
+    assert "2 passed" in proc.stdout, proc.stdout[-2000:]

@@ -254,6 +254,24 @@ class TestConfigReader:
         assert tr.use_scan_epoch is True
         assert tr.train_epoch_fn is not None
         assert tr.batch_size == len(dataset)
+
+    @pytest.mark.slow
+    def test_clamped_full_dataset_batch_epoch_logs_metrics(
+        self, tmp_path, dataset
+    ):
+        """Executing an epoch whose batch clamped to len(train) must log
+        finite train metrics (used to yield zero drop_last batches)."""
+        cfg = base_config(tmp_path)
+        cfg["data"]["batch_size"] = len(dataset) + 7
+        model, info = factory.build_model(
+            cfg["model"],
+            cfg["disentangle"],
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+        )
+        tr = Trainer(cfg, {"train": dataset}, model, info)
         m = tr.train_epoch(1)
         assert m and all(np.isfinite(v) for v in m.values())
 
