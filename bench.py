@@ -26,7 +26,7 @@ import numpy as np
 
 
 def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = True,
-          bf16_params: bool = False):
+          bf16_params: bool = False, sigma_rank: int = 0):
     from scrubvae_tpu import factory
     from scrubvae_tpu.data.dataset import StreamDataset
     from scrubvae_tpu.data.pipeline import build_frame_store
@@ -83,6 +83,7 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = Tr
             "prior": "gaussian",
             "activation": "prelu",
             "init_dilation": None,
+            "sigma_head_rank": sigma_rank or None,
             # bf16 conv/matmul compute, f32 params + losses (the TPU
             # mixed-precision recipe; parity test: TestMixedPrecision)
             "precision": "bf16",
@@ -162,13 +163,19 @@ def main():
         "--bf16-params", action="store_true",
         help="bf16 storage for large kernels (train.param_dtype: bf16)",
     )
+    ap.add_argument(
+        "--sigma-rank", type=int, default=0,
+        help="low-rank fc_sigma factorization (model.sigma_head_rank;"
+        " config-gated deviation, 0 = reference-exact dense head)",
+    )
     args = ap.parse_args()
 
     ch = (8, 8, 16, 16, 32) if args.small else (64, 128, 256, 512, 1024)
     batch = 16 if args.small else args.batch
 
     trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small,
-                        fused=not args.no_fused, bf16_params=args.bf16_params)
+                        fused=not args.no_fused, bf16_params=args.bf16_params,
+                        sigma_rank=args.sigma_rank)
     loss_scale = trainer.loss_scale_for_epoch(1)
     n = len(ds)
     rng = np.random.default_rng(0)
@@ -190,8 +197,12 @@ def main():
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_step = float(ca.get("flops", 0.0)) / args.steps
-        bytes_per_step = float(ca.get("bytes accessed", 0.0)) / args.steps
+        # XLA's cost analysis counts a lax.scan body ONCE regardless of
+        # trip count (verified: a length-100 scanned matmul reports the
+        # same flops as length-1), so the program analysis IS the per-step
+        # cost of the scanned train step — no division by steps.
+        flops_per_step = float(ca.get("flops", 0.0))
+        bytes_per_step = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops_per_step = bytes_per_step = 0.0
 
@@ -246,10 +257,13 @@ def main():
     }
     if flops_per_step:
         out["tflops_per_s"] = round(flops_per_step / step_s / 1e12, 2)
-        out["hbm_gb_per_s"] = round(bytes_per_step / step_s / 1e9, 1)
+        # "bytes accessed" counts every buffer operand XLA touches,
+        # including fusion-internal reads that never leave VMEM — it is an
+        # UPPER bound on HBM traffic (can exceed the HBM peak), reported
+        # under its own name rather than dressed up as measured bandwidth.
+        out["bytes_accessed_gb_per_s"] = round(bytes_per_step / step_s / 1e9, 1)
         if peak_flops:
             out["mfu"] = round(flops_per_step / step_s / peak_flops, 4)
-            out["hbm_util"] = round(bytes_per_step / step_s / peak_bw, 4)
             out["peak_tflops"] = peak_flops / 1e12
             out["peak_hbm_gb_per_s"] = peak_bw / 1e9
     print(json.dumps(out))

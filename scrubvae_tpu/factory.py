@@ -113,6 +113,7 @@ def build_model(
             is_diag=bool(model_config.get("diag")),
             init_dilation=model_config.get("init_dilation"),
             precision=model_config.get("precision") or "fp32",
+            sigma_head_rank=model_config.get("sigma_head_rank"),
             **common,
         )
     elif mtype == "transformer":

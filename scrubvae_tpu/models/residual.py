@@ -47,6 +47,16 @@ class ResidualEncoder(nn.Module):
     prior: str = "gaussian"
     init_dilation: Optional[int] = None
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 MXU path)
+    # Optional low-rank factorization of the full-covariance head: the
+    # flatten->L_entries map becomes flatten->rank->L_entries. At the
+    # reference operating point (flatten 4096, z 128) the dense fc_sigma is
+    # 33.8M params (~70% of the model) and dominates both the optimizer's
+    # HBM pass and the head matmul FLOPs; rank 256 cuts it 10x. This
+    # constrains the *map* to L, not the covariance itself (L still has
+    # full z(z+1)/2 degrees of freedom per sample). Config-gated deviation
+    # (model.sigma_head_rank), default off = exact reference arithmetic
+    # (reference residual.py:218-221).
+    sigma_head_rank: Optional[int] = None
 
     def dilations(self):
         n = len(self.ch) - 1
@@ -75,11 +85,13 @@ class ResidualEncoder(nn.Module):
             sig_dim = (
                 self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
             )
-            L = CholeskyL(self.z_dim, self.is_diag)(
-                nn.Dense(sig_dim, name="fc_sigma", dtype=self.dtype)(h).astype(
-                    jnp.float32
-                )
-            )
+            rank = self.sigma_head_rank
+            if rank and not self.is_diag and rank < min(sig_dim, h.shape[-1]):
+                hs = nn.Dense(rank, name="fc_sigma_u", dtype=self.dtype)(h)
+                sig = nn.Dense(sig_dim, name="fc_sigma_v", dtype=self.dtype)(hs)
+            else:
+                sig = nn.Dense(sig_dim, name="fc_sigma", dtype=self.dtype)(h)
+            L = CholeskyL(self.z_dim, self.is_diag)(sig.astype(jnp.float32))
             return mu.astype(jnp.float32), L
         elif self.prior == "beta":
             alpha = (
@@ -157,6 +169,7 @@ class ResVAE(nn.Module):
     conditional_keys: Sequence[str] = ()
     discrete_classes: Optional[Dict[str, int]] = None  # key -> n_classes
     precision: str = "fp32"  # "bf16": conv/dense compute in bfloat16
+    sigma_head_rank: Optional[int] = None  # see ResidualEncoder
 
     def _dtype(self):
         return jnp.bfloat16 if self.precision == "bf16" else None
@@ -172,6 +185,7 @@ class ResVAE(nn.Module):
             prior=self.prior,
             init_dilation=self.init_dilation,
             dtype=self._dtype(),
+            sigma_head_rank=self.sigma_head_rank,
         )
         self.decoder = ResidualDecoder(
             out_channels=self.in_channels,

@@ -41,6 +41,7 @@ PARAM_KEYS = dict(
         "type",
         "window",
         "z_dim",
+        "sigma_head_rank",  # low-rank fc_sigma factorization (TPU addition)
         # MLP/transformer variants:
         "hidden",
         "n_heads",

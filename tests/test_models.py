@@ -143,6 +143,34 @@ class TestResVAE:
         for v in jax.tree.leaves(out):
             assert bool(jnp.isfinite(v).all())
 
+    def test_low_rank_sigma_head(self):
+        """model.sigma_head_rank factorizes fc_sigma (params shrink ~rank/
+        sig_dim) while L keeps full lower-tri structure and finite values."""
+        kw = dict(
+            in_channels=18 * 6 + 3, ch=(8, 16, 16, 32, 32), kernel=5,
+            z_dim=12, window=51, arena_size=ARENA,
+        )
+        data = dummy_batch()
+        rng = jax.random.PRNGKey(0)
+        full = ResVAE(**kw)
+        lowr = ResVAE(**kw, sigma_head_rank=8)
+        vf = full.init({"params": rng}, data, rng=rng, train=True)
+        vl = lowr.init({"params": rng}, data, rng=rng, train=True)
+
+        def n_params(v):
+            return sum(x.size for x in jax.tree.leaves(v["params"]))
+
+        assert n_params(vl) < n_params(vf)
+        assert "fc_sigma_u" in vl["params"]["encoder"]
+        assert "fc_sigma" not in vl["params"]["encoder"]
+        out, _ = lowr.apply(vl, data, rng=rng, train=True, mutable=["batch_stats"])
+        L = out["L"]
+        assert L.shape == (2, 12, 12)
+        assert bool(jnp.isfinite(L).all())
+        # strictly lower-tri above diag is zero; diag positive (CholeskyL)
+        assert bool((jnp.triu(L, 1) == 0).all())
+        assert bool((jnp.diagonal(L, axis1=-2, axis2=-1) > 0).all())
+
     def test_eval_uses_mu(self):
         model = ResVAE(
             in_channels=18 * 6 + 3,
