@@ -167,7 +167,9 @@ def assemble_windows(
     mid = start_idx + W // 2
     out: Dict[str, Array] = {}
 
-    need_pose = any(k in data_keys for k in ("avg_speed_3d", "raw_pose"))
+    need_pose = any(
+        k in data_keys for k in ("avg_speed_3d", "raw_pose", "x6d_enc")
+    )
     pose_w = jnp.take(store.pose, fidx, axis=0) if need_pose else None
 
     yaw_mid = jnp.take(store.yaw, mid, axis=0)  # (B,)
@@ -185,7 +187,25 @@ def assemble_windows(
             avg3 = (avg3 - np_["mean"]) / np_["std"]
         out["avg_speed_3d"] = avg3
 
-    if "root" in data_keys or "x6d" in data_keys or "target_pose" in data_keys:
+    # Structural factor exclusion (demo of the conditional-decode contract):
+    # "x6d_enc"/"root_enc" are a heading-FREE view of the same window,
+    # produced alongside an absolute (x360) target, so the decoder can only
+    # recover the target's orientation from the conditional heading input.
+    # NOTE x6d_enc is NOT the midfwd x6d: the shared IK parametrizes every
+    # child joint as qbetween(canonical offset, world bone) — a minimal
+    # rotation that is NOT yaw-equivariant, so midfwd x6d still encodes
+    # absolute heading redundantly across all limb rows (measured: mean
+    # |Δcont6d| 0.38 under a global 90° yaw; the reference inv_kin,
+    # dataset.py:11-46, shares this). The enc view therefore rotates the
+    # POSE into the mid-frame heading frame first and re-runs IK on the
+    # aligned pose — exactly invariant by construction. No reference
+    # counterpart (its encoder/target always share one representation).
+    want_enc = "x6d_enc" in data_keys or "root_enc" in data_keys
+
+    if (
+        "root" in data_keys or "x6d" in data_keys or "target_pose" in data_keys
+        or want_enc
+    ):
         root = jnp.take(store.pose[:, 0, :], fidx, axis=0)  # (B, W, 3)
         if direction_process in ("midfwd", "x360"):
             center = jnp.take(store.pose[:, 0, :], mid, axis=0)
@@ -193,7 +213,24 @@ def assemble_windows(
             root = root - center[:, None, :]
 
         midfwd = direction_process == "midfwd"
-        fwd_q = qtn.yaw_quat(yaw_mid)[:, None, :] if midfwd else None  # (B,1,4)
+        need_q = midfwd or want_enc
+        fwd_q = qtn.yaw_quat(yaw_mid)[:, None, :] if need_q else None  # (B,1,4)
+        if want_enc and "root_enc" in data_keys:
+            out["root_enc"] = qtn.qrot(
+                jnp.broadcast_to(fwd_q, root.shape[:-1] + (4,)), root
+            )
+        if want_enc and "x6d_enc" in data_keys:
+            # Rotate the whole pose window into the mid-frame heading frame,
+            # THEN run IK: exactly heading-invariant (see note above).
+            pw = pose_w - jnp.take(store.pose[:, 0, :], mid, axis=0)[
+                :, None, None, :
+            ]
+            pw = qtn.qrot(
+                jnp.broadcast_to(fwd_q[:, :, None, :], pw.shape[:-1] + (4,)), pw
+            )
+            out["x6d_enc"] = qtn.quaternion_to_cont6d(
+                kin.inv_kin(pw, tree, forward_indices=[1, 0])
+            )
         if midfwd:
             root = qtn.qrot(jnp.broadcast_to(fwd_q, root.shape[:-1] + (4,)), root)
 

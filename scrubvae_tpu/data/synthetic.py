@@ -97,6 +97,7 @@ def structured_pose_stream(
     n_ids: int = 4,
     arena_xy: float = 250.0,
     seed: int = 0,
+    speed_scale: float = 1.0,
 ):
     """Pose stream with *real* pose<->factor mutual information, for
     demonstrating the conditioning/scrubbing paths in a sane regime
@@ -138,7 +139,12 @@ def structured_pose_stream(
         ls = np.zeros(n)
         for k in range(1, n):
             ls[k] = 0.995 * ls[k - 1] + rng.normal(0, 0.08)
-        spd = np.exp(ls) * 0.8
+        # speed_scale calibrates the stream's avg_speed_3d distribution to
+        # the reference's hardcoded normalization stats (get/data.py:58-67,
+        # mean ~[.50,.71,.67], std ~[.40,.36,.42]) so the gen-restrict
+        # speed-jitter clamps (eval/eval.py:41-56) operate in their
+        # intended range on synthetic data.
+        spd = np.exp(ls) * 0.8 * speed_scale
         kern = np.ones(9) / 9.0
         speed[m] = np.convolve(spd, kern, mode="same")
 

@@ -388,13 +388,23 @@ def data_and_model(
         config["model"].get("window") or config["data"].get("window") or 51
     )
 
+    # data.encoder_direction_process: midfwd gives the encoder an aligned
+    # view while the recon target keeps the configured representation
+    # (structural factor exclusion; models/residual.py ResVAE.encode).
+    enc_dp = config["data"].get("encoder_direction_process")
+    enc_keys = (
+        ["x6d_enc", "root_enc"]
+        if enc_dp and enc_dp != config["data"].get("direction_process")
+        else []
+    )
+
     datasets = {}
     for label in train_val_test:
         keys = val_keys if label == "val" else list(data_keys)
         datasets[label] = mouse_data(
             config["data"],
             train_val_test=label,
-            data_keys=keys,
+            data_keys=list(keys) + enc_keys,
             window=window,
         )
 

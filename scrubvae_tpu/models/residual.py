@@ -203,11 +203,17 @@ class ResVAE(nn.Module):
         return jnp.asarray(self.arena_size, dtype=dtype)
 
     def encode(self, data: Dict[str, Array], train: bool = True) -> Dict[str, Array]:
-        x6d = data["x6d"]
+        # Structural factor exclusion: when the batch carries a separate
+        # encoder view ("x6d_enc"/"root_enc" — midfwd-aligned while the
+        # recon target stays absolute; data/pipeline.py assemble_windows),
+        # the encoder reads that view, so z cannot carry absolute heading
+        # and the decoder must take it from the conditional input.
+        x6d = data.get("x6d_enc", data["x6d"])
         B, W = x6d.shape[0], x6d.shape[1]
         flat = x6d.reshape(B, W, -1)
         if self.arena_size is not None:
-            norm_root = normalize_root(data["root"], self._arena(x6d.dtype))
+            root = data.get("root_enc", data["root"])
+            norm_root = normalize_root(root, self._arena(x6d.dtype))
             x_in = jnp.concatenate([flat, norm_root], axis=-1)
         else:
             x_in = flat

@@ -11,6 +11,7 @@ PARAM_KEYS = dict(
         "data_path",
         "dataset",
         "direction_process",
+        "encoder_direction_process",  # aligned encoder view (TPU addition)
         "normalize",
         "remove_speed_outliers",
         "stride",

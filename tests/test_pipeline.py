@@ -297,3 +297,93 @@ class TestWindowResolution:
         b = datasets["train"].batch(jnp.arange(2))
         assert b["x6d"].shape[1] == 21
         assert getattr(model, "window", 21) == 21
+
+
+class TestEncoderView:
+    """Structural factor exclusion: x6d_enc/root_enc are the midfwd-aligned
+    view assembled alongside an absolute (x360) target from one gather."""
+
+    def test_enc_view_is_heading_invariant(self):
+        """x6d_enc/root_enc are exactly invariant under a global yaw of the
+        stream (unlike midfwd x6d, whose qbetween IK parametrization leaks
+        heading into every limb row — measured mean |Δcont6d| ≈ 0.38 under
+        90°), while the x360 target moves with it."""
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=160, n_ids=2, seed=12)
+        c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+        R = np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
+        keys = ("x6d", "root", "x6d_enc", "root_enc")
+        outs = []
+        for p in (pose, pose @ R.T):
+            store = build_frame_store(p, ids, SKEL, window=21, stride=3)
+            outs.append(materialize(store, SKEL.tree, keys, "x360"))
+        a, b = outs
+        d = np.abs(a["x6d_enc"] - b["x6d_enc"])
+        # exact in exact arithmetic; in f32 a handful of near-singular
+        # qbetween frames (bone ~antiparallel to canonical offset) wobble
+        assert float(d.mean()) < 1e-5, d.mean()
+        assert float((d > 1e-3).mean()) < 1e-3, (d > 1e-3).mean()
+        np.testing.assert_allclose(a["root_enc"], b["root_enc"], atol=1e-3)
+        # the absolute target rotates with the stream
+        assert np.abs(a["x6d"][..., 0, :] - b["x6d"][..., 0, :]).max() > 0.5
+
+    def test_enc_view_reconstructs_aligned_pose(self):
+        """FK of (x6d_enc, root_enc) reproduces the mid-frame-aligned pose:
+        the enc view is a faithful representation, just in the aligned frame."""
+        from scrubvae_tpu.ops import quaternion as q
+
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=1, seed=14)
+        store = build_frame_store(pose, ids, SKEL, window=21, stride=3)
+        b = materialize(
+            store, SKEL.tree, ("x6d_enc", "root_enc", "offsets", "heading"), "x360"
+        )
+        B, W, J = b["x6d_enc"].shape[:3]
+        fk = kin.fwd_kin_cont6d(
+            jnp.asarray(b["x6d_enc"].reshape(-1, J, 6)),
+            SKEL.tree,
+            jnp.asarray(b["offsets"].reshape(-1, J, 3)),
+            root_pos=jnp.asarray(b["root_enc"].reshape(-1, 3)),
+            do_root_R=True,
+            eps=1e-8,
+        ).reshape(B, W, J, 3)
+        # mid-frame forward (kp0 -> kp1) points +x in the aligned frame
+        fwd = np.asarray(fk)[:, W // 2, 1, :2] - np.asarray(fk)[:, W // 2, 0, :2]
+        fwd = fwd / np.linalg.norm(fwd, axis=-1, keepdims=True)
+        np.testing.assert_allclose(fwd[:, 0], 1.0, atol=1e-3)
+
+    def test_encoder_consumes_enc_view(self):
+        """ResVAE.encode reads x6d_enc/root_enc when present: perturbing the
+        absolute target leaves mu unchanged; perturbing the enc view moves
+        it. (Note: midfwd x6d is not *exactly* invariant under global yaw —
+        the IK's minimal-rotation parametrization is not equivariant, a
+        property shared with the reference inv_kin — so the exclusion
+        guarantee is about what the encoder is fed, not bitwise z-equality
+        across rotated streams.)"""
+        import jax
+
+        from scrubvae_tpu.models.residual import ResVAE
+
+        pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=1, seed=13)
+        keys = ("x6d", "root", "x6d_enc", "root_enc")
+        arena = np.asarray([[-300, -300, 0], [300, 300, 100]], np.float32)
+        model = ResVAE(
+            in_channels=18 * 6 + 3, ch=(8, 8, 16, 16, 32), z_dim=6,
+            window=21, arena_size=arena,
+        )
+        store = build_frame_store(pose, ids, SKEL, window=21, stride=3)
+        b = materialize(store, SKEL.tree, keys, "x360")
+        data = {k: jnp.asarray(v[:4]) for k, v in b.items()}
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=False)
+
+        def mu(d):
+            return np.asarray(model.apply(d_vars, d, rng=None, train=False)["mu"])
+
+        d_vars = variables
+        base = mu(data)
+        tgt_perturbed = dict(data)
+        tgt_perturbed["x6d"] = data["x6d"] + 0.1
+        tgt_perturbed["root"] = data["root"] + 5.0
+        np.testing.assert_allclose(mu(tgt_perturbed), base, atol=1e-6)
+        enc_perturbed = dict(data)
+        enc_perturbed["x6d_enc"] = data["x6d_enc"] + 0.1
+        assert np.abs(mu(enc_perturbed) - base).max() > 1e-4
