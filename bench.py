@@ -160,8 +160,10 @@ def main():
         help="disable the Pallas fused AdamW (A/B attribution)",
     )
     ap.add_argument(
-        "--bf16-params", action="store_true",
-        help="bf16 storage for large kernels (train.param_dtype: bf16)",
+        "--f32-params", action="store_true",
+        help="f32 parameter storage (A/B; default is bf16 storage with"
+        " stochastic rounding for the large kernels - the recommended"
+        " TPU training config, train.param_dtype: bf16)",
     )
     ap.add_argument(
         "--sigma-rank", type=int, default=0,
@@ -173,8 +175,13 @@ def main():
     ch = (8, 8, 16, 16, 32) if args.small else (64, 128, 256, 512, 1024)
     batch = 16 if args.small else args.batch
 
+    # bf16 parameter storage (stochastically-rounded stores, f32 master
+    # semantics preserved by SR unbiasedness) is the recommended TPU config
+    # and the bench default; --f32-params measures the reference-exact
+    # storage. Small models keep f32 (the win only exists at flagship size).
+    bf16_params = not args.f32_params and not args.small
     trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small,
-                        fused=not args.no_fused, bf16_params=args.bf16_params,
+                        fused=not args.no_fused, bf16_params=bf16_params,
                         sigma_rank=args.sigma_rank)
     loss_scale = trainer.loss_scale_for_epoch(1)
     n = len(ds)
@@ -254,6 +261,8 @@ def main():
         "vs_baseline": round(vs, 3),
         "step_ms": round(step_s * 1e3, 3),
         "device_kind": kind,
+        "param_dtype": "bf16" if bf16_params else "f32",
+        "sigma_head_rank": args.sigma_rank or None,
     }
     if flops_per_step:
         out["tflops_per_s"] = round(flops_per_step / step_s / 1e12, 2)
