@@ -42,11 +42,25 @@ from jax import Array
 
 __all__ = ["fused_adamw_leaf", "leaf_update_reference"]
 
-# Grid block: 512 rows x 512 lanes of f32 = 1MB per f32 buffer; with
-# w,g (f32) + mu,nu (bf16) in and w,mu,nu out that is ~7MB of VMEM,
-# comfortably under the ~16MB budget while big enough to saturate DMA.
-_BLOCK_R = 512
+# Grid block: sized by VMEM byte budget, not a fixed shape. Pallas double-
+# buffers every in/out block, so the working set is 2 * sum(block bytes
+# per buffer); the scoped-vmem limit is 16MB. 512x512 f32 blocks fit the
+# default dtype mix (w,g f32 + mu,nu bf16 in; w,mu,nu out ~ 5MB -> 10MB
+# double-buffered) but OOM at 17MB when the moments are f32
+# (train.moment_dtype: f32), so the row count shrinks with the actual
+# bytes-per-element of the leaf's buffers.
 _BLOCK_C = 512
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB limit
+
+
+def _block_rows(w_bytes: int, m_bytes: int) -> int:
+    """Rows per 512-lane block so 2x(4 in + 3 out blocks) fits the budget.
+
+    Per row of 512 lanes: in = w + g(f32) + 2 moments; out = w + 2 moments.
+    """
+    per_row = _BLOCK_C * (2 * w_bytes + 4 + 4 * m_bytes)
+    rows = _VMEM_BUDGET // (2 * per_row)
+    return max(64, min(512, int(rows) & ~7))  # multiple of 8 sublanes
 
 
 def _sround_bits(x: Array, noise16: Array) -> Array:
@@ -155,7 +169,8 @@ def fused_adamw_leaf(
     nu2 = nu.reshape(w2.shape)
 
     R, C = w2.shape
-    br, bc = min(_BLOCK_R, R), min(_BLOCK_C, C)
+    br = min(_block_rows(w2.dtype.itemsize, mu2.dtype.itemsize), R)
+    bc = min(_BLOCK_C, C)
     grid = (pl.cdiv(R, br), pl.cdiv(C, bc))
     scal = jnp.stack(
         [

@@ -239,3 +239,16 @@ def test_trainer_step_with_fused_optimizer(tmp_path):
     assert isinstance(tr.tx, optim.FusedAdamW)
     assert np.isfinite(metrics["total_train"])
     assert int(tr.state.opt_state.count) == tr.steps_per_epoch
+
+
+def test_block_rows_fit_vmem_budget():
+    """Pallas double-buffers each in/out block: 2x(4 in + 3 out) block bytes
+    must stay under the ~16MB scoped-vmem limit for every dtype mix. The
+    512x512 fixed block OOM'd at 17MB with f32 moments (w,g,mu,nu all f32)."""
+    from scrubvae_tpu.ops.fused_adamw import _BLOCK_C, _block_rows
+
+    for w_b, m_b in [(4, 2), (4, 4), (2, 2), (2, 4)]:
+        rows = _block_rows(w_b, m_b)
+        per_row = _BLOCK_C * (2 * w_b + 4 + 4 * m_b)
+        assert 2 * rows * per_row <= 16 * 1024 * 1024, (w_b, m_b, rows)
+        assert rows % 8 == 0 and rows >= 64
