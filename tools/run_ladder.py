@@ -141,7 +141,10 @@ def main():
     cfg_dir = pathlib.Path(args.config_dir) if args.config_dir else HERE / "configs" / "ladder"
     results = []
     for cfg_path in sorted(cfg_dir.glob("*.yaml")):
-        if cfg_path.stem[0] not in args.configs:
+        # match the numeric prefix (configs are "N_name.yaml"; single-char
+        # matching broke for N >= 10)
+        prefix = cfg_path.stem.split("_")[0]
+        if prefix not in args.configs:
             continue
         print(f"=== {cfg_path.stem} ===", flush=True)
         try:
