@@ -352,3 +352,53 @@ class TestMixedPrecision:
             np.asarray(o16["mu"]).ravel(), np.asarray(o32["mu"]).ravel()
         )[0, 1]
         assert corr > 0.99, corr
+
+
+class TestServingExport:
+    """jax.export serving artifacts: encoder/decoder serialize with a
+    polymorphic batch dim, deserialize without model code, and reproduce
+    the live apply outputs at multiple batch sizes."""
+
+    def test_encoder_decoder_roundtrip(self):
+        from scrubvae_tpu.utils.export import (
+            export_decoder,
+            export_encoder,
+            load_exported,
+        )
+
+        model = ResVAE(
+            in_channels=18 * 6 + 3, ch=(8, 8, 16, 16, 32), z_dim=6,
+            window=31, arena_size=ARENA, conditional_dim=2,
+            conditional_keys=("heading",),
+        )
+        data = dummy_batch(W=31)
+        data["heading"] = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 2)).astype(np.float32))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=False)
+
+        enc_blob = export_encoder(model, variables, data)
+        enc = load_exported(enc_blob)
+        for B in (2, 5):
+            d = {k: jnp.tile(data[k][:1], (B,) + (1,) * (data[k].ndim - 1))
+                 for k in ("x6d", "root")}
+            got = enc.call(d)
+            ref = model.apply(variables, d, train=False, method=model.encode)
+            np.testing.assert_allclose(
+                np.asarray(got["mu"]), np.asarray(ref["mu"]), atol=1e-5
+            )
+            assert got["L"].shape == (B, 6, 6)
+
+        dec_blob = export_decoder(
+            model, variables, data, z_dim=6, conditional_keys=("heading",)
+        )
+        dec = load_exported(dec_blob)
+        z = jnp.asarray(np.random.default_rng(1).normal(size=(3, 6)).astype(np.float32))
+        cond = {"heading": jnp.tile(data["heading"][:1], (3, 1))}
+        got = dec.call(z, cond)
+        ref = model.apply(
+            variables, z, dict(cond), train=False, method=model.decode
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["x6d"]), np.asarray(ref["x6d"]), atol=1e-5
+        )
