@@ -57,6 +57,29 @@ class Trainer:
         # batches per epoch (drop_last) and silently log no train metrics;
         # clamp so one full-dataset batch always runs.
         self.batch_size = max(1, min(self.batch_size, len(datasets["train"])))
+
+        # train.mesh: data-parallel SPMD over a 1-D jax.sharding mesh.
+        # Accepts {"data": N}, an int, or true (N = -1/None/true = every
+        # visible device). The global batch is sharded over the "data"
+        # axis; state is replicated; XLA inserts gradient/moment psums
+        # (parallel/mesh.py, SURVEY §2.2). None/absent = single device.
+        mesh_cfg = config["train"].get("mesh")
+        self.mesh = None
+        if mesh_cfg and jax.device_count() > 1:
+            from scrubvae_tpu.parallel import make_mesh
+
+            if isinstance(mesh_cfg, dict):
+                n = mesh_cfg.get("data")
+            elif isinstance(mesh_cfg, bool):
+                n = None
+            else:
+                n = int(mesh_cfg)
+            n = None if n in (None, -1) else int(n)
+            self.mesh = make_mesh(n)
+            per = self.mesh.devices.size
+            # static shapes: the sharded batch must divide the mesh
+            if self.batch_size % per:
+                self.batch_size = max(per, (self.batch_size // per) * per)
         self.loss_cfg = dict(config.get("loss") or {})
         self.dis_cfg = config["disentangle"]
         self.train_cfg = config["train"]
@@ -122,6 +145,10 @@ class Trainer:
         )
         self.start_epoch = int(config["model"].get("start_epoch") or 0)
         self._maybe_restore()
+        if self.mesh is not None:
+            from scrubvae_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
 
         self.feat_slices = feature_slices(
             info["conditional_keys"], info["feat_dims"]
@@ -188,6 +215,24 @@ class Trainer:
             return None
         return lambda idx: dataset.batch(idx)
 
+    def _device_idx(self, idx):
+        """Batch indices, sharded over the data axis when a mesh is active
+        ((S, B) scan matrices shard the B dim; (B,) shards directly)."""
+        idx = jnp.asarray(idx)
+        if self.mesh is None:
+            return idx
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Ragged eval-tail batches (len(val) % batch_size) need not divide
+        # the mesh; run those replicated (correct, just not parallel).
+        if idx.shape[-1] % self.mesh.devices.size:
+            spec = P()
+        elif idx.ndim == 2:
+            spec = P(None, "data")
+        else:
+            spec = P("data")
+        return jax.device_put(idx, NamedSharding(self.mesh, spec))
+
     def _maybe_restore(self):
         load_model = self.config["model"].get("load_model")
         if load_model and self.start_epoch:
@@ -243,7 +288,7 @@ class Trainer:
             n = len(self.train_ds)
             steps = max(n // self.batch_size, 1)
             perm = self.np_rng.permutation(n)[: steps * self.batch_size]
-            idx_matrix = jnp.asarray(perm.reshape(steps, self.batch_size))
+            idx_matrix = self._device_idx(perm.reshape(steps, self.batch_size))
             self.state, metrics = self.train_epoch_fn(
                 self.state, idx_matrix, loss_scale
             )
@@ -252,7 +297,7 @@ class Trainer:
         count = 0
         for idx in epoch_batches(len(self.train_ds), self.batch_size, self.np_rng):
             self.state, metrics = self.train_step(
-                self.state, jnp.asarray(idx), loss_scale
+                self.state, self._device_idx(idx), loss_scale
             )
             count += 1
             for k, v in metrics.items():
@@ -318,7 +363,7 @@ class Trainer:
             count += nb
 
         if self.use_scan_epoch and steps > 0:
-            idx_matrix = jnp.asarray(np.arange(steps * B).reshape(steps, B))
+            idx_matrix = self._device_idx(np.arange(steps * B).reshape(steps, B))
             m, z, gen, rng = self._get_eval_epoch_fn()(
                 self.state, idx_matrix, loss_scale, rng
             )
@@ -332,7 +377,7 @@ class Trainer:
             tail = list(epoch_batches(n, B, None, drop_last=False))
 
         for idx in tail:
-            bl, mu = self.eval_step(self.state, jnp.asarray(idx), loss_scale)
+            bl, mu = self.eval_step(self.state, self._device_idx(idx), loss_scale)
             zs.append(np.asarray(mu))
             accumulate(bl, len(idx))
             data = self.val_ds.batch(jnp.asarray(idx))
@@ -423,7 +468,12 @@ class Trainer:
         params = dict(self.state.params)
         for name in params:
             if name.startswith("gr_"):
-                params[name] = fresh[name]
+                new = fresh[name]
+                if self.mesh is not None:
+                    from scrubvae_tpu.parallel import replicate
+
+                    new = replicate(new, self.mesh)
+                params[name] = new
         self.state = self.state.replace(params=params)
 
     def lambda_metrics(self) -> Dict[str, float]:

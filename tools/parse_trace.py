@@ -36,8 +36,8 @@ for e in events:
     if e.get("ph") != "X" or e.get("pid") not in dev_pids:
         continue
     name = e.get("name", "")
-    if name.startswith("jit_") or name.startswith("Steps"):
-        continue  # module-level envelopes
+    if name.startswith("jit_") or name.startswith("Steps") or name.isdigit():
+        continue  # module-level / per-step-number envelopes
     dur = float(e.get("dur", 0.0))
     total += dur
     agg[name] += dur
