@@ -120,6 +120,7 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = Tr
         direction_process="midfwd",
         arena_size=arena,
         discrete_classes=ds.discrete_classes,
+        loss_keys=cfg["loss"].keys(),
     )
     return Trainer(cfg, {"train": ds}, model, info), ds
 

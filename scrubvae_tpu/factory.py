@@ -68,10 +68,16 @@ def build_model(
     direction_process: Optional[str],
     arena_size=None,
     discrete_classes: Optional[dict] = None,
+    loss_keys=None,
 ) -> tuple:
     """Construct the ScrubVAE flax module from config. Returns
     (module, info) where info carries conditional/disentangle metadata used
-    by the trainer (reference get/model.py:4-151)."""
+    by the trainer (reference get/model.py:4-151).
+
+    loss_keys: the configured loss-weight keys, used to auto-enable the
+    packed Cholesky head (models/layers.py packed_*) when no loss needs the
+    materialized (B, z, z) factor; only total_correlation does. Explicit
+    model.packed_sigma overrides; None (unknown) keeps the full path."""
     methods = disentangle_config.get("method") or {}
     fdims = feat_dims(model_config, discrete_classes)
     dc_sizes = {k: len(v) for k, v in (discrete_classes or {}).items()}
@@ -105,6 +111,13 @@ def build_model(
         discrete_classes=dc_sizes or None,
     )
     mtype = model_config.get("type") or "rcnn"
+    packed = model_config.get("packed_sigma")
+    if packed is None:
+        packed = (
+            loss_keys is not None
+            and "total_correlation" not in set(loss_keys)
+            and (model_config.get("prior") or "gaussian") == "gaussian"
+        )
     if mtype == "rcnn":
         vae = ResVAE(
             ch=tuple(model_config.get("channel") or (64, 128, 256, 512, 1024)),
@@ -114,6 +127,7 @@ def build_model(
             init_dilation=model_config.get("init_dilation"),
             precision=model_config.get("precision") or "fp32",
             sigma_head_rank=model_config.get("sigma_head_rank"),
+            packed_sigma=bool(packed),
             **common,
         )
     elif mtype == "transformer":
@@ -420,6 +434,7 @@ def data_and_model(
         direction_process=config["data"].get("direction_process"),
         arena_size=first.arena_size,
         discrete_classes=first.discrete_classes,
+        loss_keys=(config.get("loss") or {}).keys(),
     )
     return datasets, model, info
 

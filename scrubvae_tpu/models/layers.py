@@ -32,6 +32,11 @@ __all__ = [
     "ConvTranspose1d",
     "upsample_linear_1d",
     "CholeskyL",
+    "packed_softplus_diag",
+    "packed_diag",
+    "packed_matvec",
+    "packed_sumsq",
+    "packed_to_L",
     "ResidualBlock",
     "ResidualBlockTranspose",
 ]
@@ -202,6 +207,106 @@ class CholeskyL(nn.Module):
         L = L.at[:, idx[0], idx[1]].set(x)
         ar = jnp.arange(D)
         return L.at[:, ar, ar].set(jax.nn.softplus(L[:, ar, ar]) + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Packed lower-triangular representation.
+#
+# Materializing the (B, D, D) Cholesky factor from the head's packed
+# D(D+1)/2 vector costs a scatter forward and a masked gather backward; at
+# the flagship point (B=512, D=128) that machinery measured ~0.8 ms/step,
+# ~10% of the fused train step (profiled fusions around f32[512,16384] /
+# [8256,512] buffers). Everything the train losses need from L - the
+# sampler matvec L@eps, diag(L), and trace(LL^T) - is computable directly
+# on the packed vector with static index maps and one tiny one-hot matmul,
+# so the full matrix never touches HBM. Only total_correlation (which
+# evaluates cross-sample densities) needs the materialized factor; the
+# factory keeps the full path when that loss is configured.
+#
+# Layout: row-major packed tril, entry k <-> (row_k, col_k), row i at
+# offset i(i+1)/2 (the same order CholeskyL scatters, so fc_sigma weights
+# are interchangeable between paths). For is_diag the packed vector is
+# just the diagonal (K == D).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _tril_info(D: int, diag_only: bool):
+    if diag_only:
+        rows = cols = _np.arange(D, dtype=_np.int32)
+    else:
+        rows = _np.repeat(_np.arange(D), _np.arange(1, D + 1)).astype(_np.int32)
+        cols = _np.concatenate(
+            [_np.arange(i + 1) for i in range(D)]
+        ).astype(_np.int32)
+    diag_pos = _np.nonzero(rows == cols)[0].astype(_np.int32)
+    # one-hot row-aggregation matrix: (xp @ R)[b, i] = sum_{k: row_k == i}
+    row_onehot = _np.zeros((rows.size, D), _np.float32)
+    row_onehot[_np.arange(rows.size), rows] = 1.0
+    return rows, cols, diag_pos, row_onehot
+
+
+def packed_softplus_diag(xp: Array, D: int, diag_only: bool = None) -> Array:
+    """Apply CholeskyL's softplus(+1e-6 floor) to the diagonal entries of a
+    packed tril vector (B, K). Semantics identical to CholeskyL."""
+    if diag_only is None:
+        diag_only = xp.shape[-1] == D
+    if diag_only:
+        return jax.nn.softplus(xp) + 1e-6
+    rows, cols, _, _ = _tril_info(D, diag_only)
+    is_diag = jnp.asarray(rows == cols)
+    return jnp.where(is_diag, jax.nn.softplus(xp) + 1e-6, xp)
+
+
+def packed_diag(xp: Array, D: int, diag_only: bool = None) -> Array:
+    """diag(L) from the packed vector: a static 128-entry column take."""
+    if diag_only is None:
+        diag_only = xp.shape[-1] == D
+    if diag_only:
+        return xp
+    _, _, diag_pos, _ = _tril_info(D, diag_only)
+    return xp[:, diag_pos]
+
+
+def packed_sumsq(xp: Array) -> Array:
+    """sum_b trace(L_b L_b^T) = sum of squares of all packed entries."""
+    return jnp.sum(jnp.square(xp))
+
+
+def packed_matvec(xp: Array, v: Array, D: int, diag_only: bool = None) -> Array:
+    """L @ v without materializing L: (L v)_i = sum_{k in row i} xp_k v_{col_k}.
+
+    Column expansion is a static take; the row reduction is a one-hot
+    matmul (MXU-friendly; exact in f32 at HIGHEST precision)."""
+    if diag_only is None:
+        diag_only = xp.shape[-1] == D
+    if diag_only:
+        return xp * v
+    _, cols, _, row_onehot = _tril_info(D, diag_only)
+    prod = xp * jnp.take(v, jnp.asarray(cols), axis=1)
+    return jax.lax.dot(
+        prod.astype(jnp.float32),
+        jnp.asarray(row_onehot),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def packed_to_L(xp: Array, D: int, diag_only: bool = None) -> Array:
+    """Materialize the (B, D, D) factor from a packed vector (already
+    softplus'd) - compatibility escape hatch for full-L consumers."""
+    if diag_only is None:
+        diag_only = xp.shape[-1] == D
+    B = xp.shape[0]
+    L = jnp.zeros((B, D, D), dtype=xp.dtype)
+    if diag_only:
+        ar = jnp.arange(D)
+        return L.at[:, ar, ar].set(xp)
+    rows, cols, _, _ = _tril_info(D, diag_only)
+    return L.at[:, jnp.asarray(rows), jnp.asarray(cols)].set(xp)
 
 
 class ResidualBlock(nn.Module):

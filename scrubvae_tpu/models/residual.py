@@ -57,6 +57,12 @@ class ResidualEncoder(nn.Module):
     # (model.sigma_head_rank), default off = exact reference arithmetic
     # (reference residual.py:218-221).
     sigma_head_rank: Optional[int] = None
+    # Emit the Cholesky factor in packed tril form (B, z(z+1)/2) instead of
+    # materializing (B, z, z). Same math (layers.packed_* helpers; weights
+    # interchangeable with the full path), ~10% faster fused step at the
+    # flagship point. The factory enables it whenever no configured loss
+    # needs the full matrix (total_correlation does).
+    packed_sigma: bool = False
 
     def dilations(self):
         n = len(self.ch) - 1
@@ -91,6 +97,13 @@ class ResidualEncoder(nn.Module):
                 sig = nn.Dense(sig_dim, name="fc_sigma_v", dtype=self.dtype)(hs)
             else:
                 sig = nn.Dense(sig_dim, name="fc_sigma", dtype=self.dtype)(h)
+            if self.packed_sigma:
+                from scrubvae_tpu.models.layers import packed_softplus_diag
+
+                Lp = packed_softplus_diag(
+                    sig.astype(jnp.float32), self.z_dim, self.is_diag
+                )
+                return mu.astype(jnp.float32), Lp
             L = CholeskyL(self.z_dim, self.is_diag)(sig.astype(jnp.float32))
             return mu.astype(jnp.float32), L
         elif self.prior == "beta":
@@ -170,6 +183,7 @@ class ResVAE(nn.Module):
     discrete_classes: Optional[Dict[str, int]] = None  # key -> n_classes
     precision: str = "fp32"  # "bf16": conv/dense compute in bfloat16
     sigma_head_rank: Optional[int] = None  # see ResidualEncoder
+    packed_sigma: bool = False  # see ResidualEncoder
 
     def _dtype(self):
         return jnp.bfloat16 if self.precision == "bf16" else None
@@ -186,6 +200,7 @@ class ResVAE(nn.Module):
             init_dilation=self.init_dilation,
             dtype=self._dtype(),
             sigma_head_rank=self.sigma_head_rank,
+            packed_sigma=self.packed_sigma,
         )
         self.decoder = ResidualDecoder(
             out_channels=self.in_channels,
@@ -220,7 +235,7 @@ class ResVAE(nn.Module):
         a, b = self.encoder(x_in, train=train)
         out: Dict[str, Array] = {}
         if self.prior == "gaussian":
-            out["mu"], out["L"] = a, b
+            out["mu"], out["Lp" if self.packed_sigma else "L"] = a, b
         else:
             out["alpha"], out["beta"] = a, b
             out["mu"] = (a - 1.0 + 1e-8) / (a + b - 2.0 + 2e-8) * 2.0 - 1.0
@@ -265,6 +280,10 @@ class ResVAE(nn.Module):
 
     def sample_z(self, mu: Array, L: Array, rng: Array) -> Array:
         eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+        if self.packed_sigma:
+            from scrubvae_tpu.models.layers import packed_matvec
+
+            return mu + packed_matvec(L, eps, self.z_dim, self.is_diag)
         return mu + jnp.einsum("bij,bj->bi", L, eps)
 
     def __call__(
@@ -276,7 +295,9 @@ class ResVAE(nn.Module):
         out = self.encode(data, train=train)
         if self.prior == "gaussian":
             if train and rng is not None:
-                z = self.sample_z(out["mu"], out["L"], rng)
+                z = self.sample_z(
+                    out["mu"], out["Lp" if self.packed_sigma else "L"], rng
+                )
             else:
                 z = out["mu"]
         else:

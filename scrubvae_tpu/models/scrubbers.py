@@ -675,7 +675,10 @@ def mi_init(
     var_mode: str = "sphere",
     model_L: Array | None = None,
     valid: float = 1.0,
+    model_diag: Array | None = None,
 ) -> MIState:
+    """model_diag: diag(L) directly (e.g. from the packed-sigma path);
+    overrides model_L, of which only the diagonal is used anyway."""
     log2pi = jnp.log(2.0 * jnp.pi)
     x_dim = x_s.shape[1]
     y_dim = y_s.shape[1]
@@ -683,7 +686,9 @@ def mi_init(
         var_s = jnp.asarray(bandwidth)
         logA_x = jnp.asarray(x_dim * (log2pi + jnp.log(bandwidth)))
     elif var_mode == "diagonal":
-        diag = jnp.diagonal(model_L, axis1=-2, axis2=-1) ** 2 + bandwidth
+        if model_diag is None:
+            model_diag = jnp.diagonal(model_L, axis1=-2, axis2=-1)
+        diag = model_diag**2 + bandwidth
         var_s = diag
         logA_x = x_dim * log2pi + jnp.sum(jnp.log(diag), axis=-1)
     else:

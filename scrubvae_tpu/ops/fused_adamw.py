@@ -158,15 +158,25 @@ def fused_adamw_leaf(
     m_dtype = mu.dtype
     w_lowp = dtype == jnp.bfloat16
 
-    # Normalize to 2-D: collapse leading dims (layout-preserving for the
-    # row-major leaves flax produces); 1-D leaves become a single row.
+    # Normalize to 2-D. 1-D leaves become a single row; ≥3-D leaves (conv
+    # kernels) collapse leading dims. 2-D (dense) leaves are fed as their
+    # TRANSPOSED view: Mosaic custom calls pin row-major {1,0} operand
+    # layouts, while XLA assigns dense kernels the contracting-minor {0,1}
+    # boundary layout (the forward matmul's preference, propagated to the
+    # donated train-state tuple) - so the straight view costs a layout
+    # copy in AND out for w/mu/nu (6 x 68MB/step on the 4096x8256 fc_sigma
+    # leaf alone, ~13% of the step in the profile). The transposed view's
+    # pinned {1,0} layout is byte-identical to {0,1} on the logical shape,
+    # so the copies become bitcasts. Elementwise kernel: orientation is
+    # semantically irrelevant.
     if w.ndim == 1:
-        w2 = w.reshape(1, -1)
+        w2, g2, mu2, nu2 = (a.reshape(1, -1) for a in (w, g, mu, nu))
+    elif w.ndim == 2:
+        w2, g2, mu2, nu2 = (a.T for a in (w, g, mu, nu))
     else:
-        w2 = w.reshape(-1, w.shape[-1])
-    g2 = g.reshape(w2.shape)
-    mu2 = mu.reshape(w2.shape)
-    nu2 = nu.reshape(w2.shape)
+        w2, g2, mu2, nu2 = (
+            a.reshape(-1, a.shape[-1]) for a in (w, g, mu, nu)
+        )
 
     R, C = w2.shape
     br = min(_block_rows(w2.dtype.itemsize, mu2.dtype.itemsize), R)
@@ -211,6 +221,8 @@ def fused_adamw_leaf(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(scal, seed_arr, w2, g2, mu2, nu2)
     new_w, new_mu, new_nu = out
+    if w.ndim == 2:
+        new_w, new_mu, new_nu = new_w.T, new_mu.T, new_nu.T
     return (
         new_w.reshape(shape).astype(dtype),
         new_mu.reshape(shape),

@@ -21,6 +21,7 @@ __all__ = [
     "rotation_loss",
     "stable_rotation_loss",
     "prior_loss",
+    "prior_loss_packed",
     "beta_prior_loss",
     "mpjpe_loss",
     "direct_lsq_loss",
@@ -65,6 +66,24 @@ def prior_loss(mu: Array, L: Array) -> Array:
     var_diag = jnp.sum(L * L, axis=-1)  # diag(L L^T)
     log_diag_L = jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))
     kl = -0.5 * jnp.sum(1.0 + 2.0 * log_diag_L - mu**2 - var_diag)
+    return kl / mu.shape[0]
+
+
+def prior_loss_packed(mu: Array, Lp: Array, diag_only: bool = False) -> Array:
+    """prior_loss computed on the packed tril factor (models/layers.py
+    packed_* helpers) without materializing L: sum_i diag(LL^T)_i is the
+    sum of squares of every packed entry, and diag(L) is a static take.
+    Same formula as prior_loss (reference losses.py:138-146)."""
+    from scrubvae_tpu.models.layers import packed_diag, packed_sumsq
+
+    D = mu.shape[1]
+    log_diag = jnp.log(packed_diag(Lp, D, diag_only))
+    kl = -0.5 * (
+        mu.shape[0] * D
+        + 2.0 * jnp.sum(log_diag)
+        - jnp.sum(mu**2)
+        - packed_sumsq(Lp)
+    )
     return kl / mu.shape[0]
 
 

@@ -67,7 +67,9 @@ def compute_batch_loss(
         bl["rotation"] = L.stable_rotation_loss(data["x6d"], data_o["x6d"])
 
     if "prior" in loss_scale:
-        if "L" in data_o:
+        if "Lp" in data_o:
+            bl["prior"] = L.prior_loss_packed(data_o["mu"], data_o["Lp"])
+        elif "L" in data_o:
             bl["prior"] = L.prior_loss(data_o["mu"], data_o["L"])
         elif "alpha" in data_o:
             bl["prior"] = L.beta_prior_loss(data_o["alpha"], data_o["beta"])
@@ -173,8 +175,16 @@ def compute_batch_loss(
                 )
 
     if "total_correlation" in loss_scale:
+        if "L" in data_o:
+            L_full = data_o["L"]
+        else:
+            # packed head + TC explicitly forced together: materialize
+            # (the factory's auto rule keeps the full path when TC is on)
+            from scrubvae_tpu.models.layers import packed_to_L
+
+            L_full = packed_to_L(data_o["Lp"], data_o["mu"].shape[1])
         bl["total_correlation"] = L.total_correlation(
-            data_o["z"], data_o["mu"], data_o["L"]
+            data_o["z"], data_o["mu"], L_full
         )
 
     total = jnp.asarray(0.0)

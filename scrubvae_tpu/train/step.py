@@ -21,6 +21,7 @@ import numpy as np
 from jax import Array
 
 from scrubvae_tpu.models import scrubbers as scr
+from scrubvae_tpu.models.layers import packed_diag
 from scrubvae_tpu.train.losses import compute_batch_loss
 from scrubvae_tpu.train.state import TrainState
 
@@ -182,6 +183,13 @@ def make_train_step(
                 var_mode=mcmi_var_mode,
                 model_L=(
                     jax.lax.stop_gradient(enc["L"]) if "L" in enc else None
+                ),
+                model_diag=(
+                    jax.lax.stop_gradient(
+                        packed_diag(enc["Lp"], enc["mu"].shape[1])
+                    )
+                    if "Lp" in enc
+                    else None
                 ),
                 valid=1.0,
             )

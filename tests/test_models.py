@@ -120,6 +120,132 @@ class TestCholeskyL:
         np.testing.assert_allclose(off, 0.0, atol=1e-7)
 
 
+class TestPackedCholesky:
+    """The packed tril representation (models/layers.py packed_*) must be a
+    pure execution-strategy change: identical math to CholeskyL + einsum +
+    prior_loss on the materialized factor, with interchangeable weights."""
+
+    def test_packed_helpers_match_materialized(self):
+        from scrubvae_tpu.models.layers import (
+            packed_diag,
+            packed_matvec,
+            packed_softplus_diag,
+            packed_sumsq,
+            packed_to_L,
+        )
+        from scrubvae_tpu.ops.losses import prior_loss, prior_loss_packed
+
+        D, B = 7, 4
+        K = D * (D + 1) // 2
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+        mu = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+        m = CholeskyL(D, is_diag=False)
+        L = m.apply(m.init(jax.random.PRNGKey(1), x), x)
+        xp = packed_softplus_diag(x, D)
+
+        np.testing.assert_allclose(
+            np.asarray(packed_to_L(xp, D)), np.asarray(L), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed_diag(xp, D)),
+            np.asarray(jnp.diagonal(L, axis1=-2, axis2=-1)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(packed_sumsq(xp)), float(jnp.sum(L * L)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed_matvec(xp, v, D)),
+            np.asarray(jnp.einsum("bij,bj->bi", L, v)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(prior_loss_packed(mu, xp)),
+            float(prior_loss(mu, L)),
+            rtol=1e-6,
+        )
+
+    def test_packed_helpers_diag_mode(self):
+        from scrubvae_tpu.models.layers import (
+            packed_diag,
+            packed_matvec,
+            packed_softplus_diag,
+        )
+
+        D, B = 5, 3
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        m = CholeskyL(D, is_diag=True)
+        L = m.apply(m.init(jax.random.PRNGKey(1), x), x)
+        xp = packed_softplus_diag(x, D)
+        np.testing.assert_allclose(
+            np.asarray(packed_diag(xp, D)),
+            np.asarray(jnp.diagonal(L, axis1=-2, axis2=-1)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed_matvec(xp, v, D)),
+            np.asarray(jnp.einsum("bij,bj->bi", L, v)),
+            rtol=1e-6,
+        )
+
+    def test_resvae_packed_equals_full(self):
+        """Same weights, same rng: packed and full ResVAE produce the same
+        z/recon/prior loss and the same fc_sigma gradient."""
+        from scrubvae_tpu.ops.losses import prior_loss, prior_loss_packed
+
+        kw = dict(
+            in_channels=18 * 6 + 3,
+            ch=(8, 16, 16, 32, 32),
+            kernel=5,
+            z_dim=12,
+            window=51,
+            arena_size=ARENA,
+        )
+        full = ResVAE(packed_sigma=False, **kw)
+        packed = ResVAE(packed_sigma=True, **kw)
+        data = dummy_batch(B=2, W=51)
+        rng = jax.random.PRNGKey(0)
+        variables = full.init({"params": rng}, data, rng=rng)
+
+        def run(model, key):
+            def loss(vs):
+                out = model.apply(
+                    vs, data, rng=rng, train=True,
+                    mutable=["batch_stats"],
+                )[0]
+                pl = (
+                    prior_loss_packed(out["mu"], out["Lp"])
+                    if key == "Lp"
+                    else prior_loss(out["mu"], out["L"])
+                )
+                return pl + jnp.sum(out["x6d"] ** 2), out
+
+            (val, out), grads = jax.value_and_grad(loss, has_aux=True)(
+                variables
+            )
+            return val, out, grads
+
+        v_f, out_f, g_f = run(full, "L")
+        v_p, out_p, g_p = run(packed, "Lp")
+        np.testing.assert_allclose(
+            np.asarray(out_p["z"]), np.asarray(out_f["z"]), rtol=2e-5, atol=2e-6
+        )
+        np.testing.assert_allclose(float(v_p), float(v_f), rtol=1e-5)
+        gk_f = g_f["params"]["encoder"]["fc_sigma"]["kernel"]
+        gk_p = g_p["params"]["encoder"]["fc_sigma"]["kernel"]
+        # f32 reassociation through the two different (equivalent) graphs;
+        # z agrees at 2e-5, so residual grad diffs are rounding, not math
+        np.testing.assert_allclose(
+            np.asarray(gk_p), np.asarray(gk_f), rtol=2e-3, atol=5e-5
+        )
+
+
 class TestResVAE:
     def test_forward_shapes_and_finite(self):
         model = ResVAE(
