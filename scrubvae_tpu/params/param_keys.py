@@ -43,6 +43,7 @@ PARAM_KEYS = dict(
         "window",
         "z_dim",
         "sigma_head_rank",  # low-rank fc_sigma factorization (TPU addition)
+        "packed_sigma",  # packed-tril Cholesky head; None = auto (TPU addition)
         # MLP/transformer variants:
         "hidden",
         "n_heads",
