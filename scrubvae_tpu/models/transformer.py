@@ -32,6 +32,19 @@ def sinusoidal_positions(length: int, d_model: int) -> np.ndarray:
     return pe
 
 
+def _act(name: str):
+    # torch nn.TransformerEncoderLayer(activation="gelu") applies the EXACT
+    # erf gelu (F.gelu default); flax nn.gelu defaults to the tanh
+    # approximation — use the exact form for parity.
+    if name == "gelu":
+        return lambda v: nn.gelu(v, approximate=False)
+    return nn.relu
+
+
+# torch LayerNorm default eps (flax defaults to 1e-6)
+_LN_EPS = 1e-5
+
+
 class EncoderLayer(nn.Module):
     n_heads: int = 4
     ff_size: int = 512
@@ -44,11 +57,15 @@ class EncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, deterministic=not train, dropout_rate=self.dropout
         )(x, x)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        x = nn.LayerNorm(epsilon=_LN_EPS)(
+            x + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        )
+        act = _act(self.activation)
         h = nn.Dense(self.ff_size)(x)
         h = nn.Dense(d)(act(h))
-        return nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(h))
+        return nn.LayerNorm(epsilon=_LN_EPS)(
+            x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        )
 
 
 class DecoderLayer(nn.Module):
@@ -63,15 +80,19 @@ class DecoderLayer(nn.Module):
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, deterministic=not train, dropout_rate=self.dropout
         )(tgt, tgt)
-        tgt = nn.LayerNorm()(tgt + nn.Dropout(self.dropout, deterministic=not train)(sa))
+        tgt = nn.LayerNorm(epsilon=_LN_EPS)(
+            tgt + nn.Dropout(self.dropout, deterministic=not train)(sa)
+        )
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, deterministic=not train, dropout_rate=self.dropout
         )(tgt, memory)
-        tgt = nn.LayerNorm()(tgt + nn.Dropout(self.dropout, deterministic=not train)(ca))
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        tgt = nn.LayerNorm(epsilon=_LN_EPS)(
+            tgt + nn.Dropout(self.dropout, deterministic=not train)(ca)
+        )
+        act = _act(self.activation)
         h = nn.Dense(self.ff_size)(tgt)
         h = nn.Dense(d)(act(h))
-        return nn.LayerNorm()(
+        return nn.LayerNorm(epsilon=_LN_EPS)(
             tgt + nn.Dropout(self.dropout, deterministic=not train)(h)
         )
 

@@ -30,7 +30,12 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "convert_resvae_state_dict", "import_torch_weights"]
+__all__ = [
+    "load_torch_state_dict",
+    "convert_resvae_state_dict",
+    "convert_transformer_state_dict",
+    "import_torch_weights",
+]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -263,6 +268,142 @@ def convert_resvae_state_dict(
         and ("/encoder/" in p or "/decoder/" in p)
     )
     out = {orig_of[p]: v for p, v in out.items()}
+    return flax.traverse_util.unflatten_dict(out, sep="/"), unmapped, unfilled
+
+
+def convert_transformer_state_dict(
+    sd: Dict[str, np.ndarray],
+    variables: Dict,
+    n_heads: int = 4,
+) -> Tuple[Dict, list, list]:
+    """Map a reference TransformerVAE state_dict
+    (/root/reference/src/scrubvae/model/transformer.py:29-167) onto our flax
+    transformer tree (models/transformer.py).
+
+    Layout conversions beyond ``_dense_w``:
+    - torch MultiheadAttention packs q/k/v as ``in_proj_weight`` (3d, d) with
+      the output dim split head-major; flax DenseGeneral kernels are
+      (d_in, heads, head_dim) — transpose then reshape.
+    - ``out_proj.weight`` (d, d) -> flax out kernel (heads, head_dim, d).
+
+    Works on both bare encoder/decoder variable trees and the full
+    TransformerVAE tree (paths are matched by suffix).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables, sep="/")
+    out = dict(flat)
+    used, filled = set(), set()
+
+    def take(key: str):
+        if key in sd:
+            used.add(key)
+            return sd[key]
+        return None
+
+    def put_suffix(suffix: str, value) -> bool:
+        """Fill the unique flax path ending in ``suffix``."""
+        if value is None:
+            return False
+        hits = [p for p in out if p.endswith(suffix)]
+        if len(hits) != 1:
+            if len(hits) > 1:
+                raise ValueError(f"ambiguous flax suffix {suffix}: {hits}")
+            return False
+        p = hits[0]
+        value = np.asarray(value, dtype=np.float32)
+        if value.shape != tuple(out[p].shape):
+            raise ValueError(
+                f"{p}: shape {value.shape} != expected {tuple(out[p].shape)}"
+            )
+        out[p] = value
+        filled.add(p)
+        return True
+
+    def dense(torch_prefix: str, flax_mod: str):
+        w, b = take(f"{torch_prefix}.weight"), take(f"{torch_prefix}.bias")
+        if w is not None:
+            put_suffix(f"{flax_mod}/kernel", _dense_w(w))
+        if b is not None:
+            put_suffix(f"{flax_mod}/bias", b)
+
+    def norm(torch_prefix: str, flax_mod: str):
+        w, b = take(f"{torch_prefix}.weight"), take(f"{torch_prefix}.bias")
+        if w is not None:
+            put_suffix(f"{flax_mod}/scale", w)
+        if b is not None:
+            put_suffix(f"{flax_mod}/bias", b)
+
+    def mha(torch_prefix: str, flax_mod: str):
+        w = take(f"{torch_prefix}.in_proj_weight")
+        b = take(f"{torch_prefix}.in_proj_bias")
+        ow = take(f"{torch_prefix}.out_proj.weight")
+        ob = take(f"{torch_prefix}.out_proj.bias")
+        if w is None:
+            return
+        d = w.shape[1]
+        hd = d // n_heads
+        for i, name in enumerate(("query", "key", "value")):
+            wi = w[i * d : (i + 1) * d]  # (d_out, d_in)
+            put_suffix(
+                f"{flax_mod}/{name}/kernel",
+                np.ascontiguousarray(wi.T).reshape(d, n_heads, hd),
+            )
+            if b is not None:
+                put_suffix(
+                    f"{flax_mod}/{name}/bias",
+                    b[i * d : (i + 1) * d].reshape(n_heads, hd),
+                )
+        if ow is not None:
+            put_suffix(
+                f"{flax_mod}/out/kernel",
+                np.ascontiguousarray(ow.T).reshape(n_heads, hd, d),
+            )
+        if ob is not None:
+            put_suffix(f"{flax_mod}/out/bias", ob)
+
+    # ----- encoder -----
+    dense("encoder.pose_embedding", "pose_embedding")
+    enc_layers = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"encoder\.transformer_encoder\.layers\.(\d+)\.", k))
+        }
+    )
+    for i in enc_layers:
+        t = f"encoder.transformer_encoder.layers.{i}"
+        f = f"EncoderLayer_{i}"
+        mha(f"{t}.self_attn", f"{f}/MultiHeadDotProductAttention_0")
+        dense(f"{t}.linear1", f"{f}/Dense_0")
+        dense(f"{t}.linear2", f"{f}/Dense_1")
+        norm(f"{t}.norm1", f"{f}/LayerNorm_0")
+        norm(f"{t}.norm2", f"{f}/LayerNorm_1")
+    dense("encoder.fc_mu", "fc_mu")
+    dense("encoder.fc_sigma.0", "fc_sigma")
+
+    # ----- decoder -----
+    dec_layers = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"decoder\.transformer_decoder\.layers\.(\d+)\.", k))
+        }
+    )
+    for i in dec_layers:
+        t = f"decoder.transformer_decoder.layers.{i}"
+        f = f"DecoderLayer_{i}"
+        mha(f"{t}.self_attn", f"{f}/MultiHeadDotProductAttention_0")
+        mha(f"{t}.multihead_attn", f"{f}/MultiHeadDotProductAttention_1")
+        dense(f"{t}.linear1", f"{f}/Dense_0")
+        dense(f"{t}.linear2", f"{f}/Dense_1")
+        norm(f"{t}.norm1", f"{f}/LayerNorm_0")
+        norm(f"{t}.norm2", f"{f}/LayerNorm_1")
+        norm(f"{t}.norm3", f"{f}/LayerNorm_2")
+    dense("decoder.fc_out", "fc_out")
+
+    unmapped = sorted(set(sd) - used)
+    unfilled = sorted(p for p in out if p not in filled and p.startswith("params/"))
     return flax.traverse_util.unflatten_dict(out, sep="/"), unmapped, unfilled
 
 

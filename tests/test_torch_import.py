@@ -290,3 +290,82 @@ class TestTorchImport:
             train=False, method=ResVAE.encode,
         )
         assert_close(enc["mu"], enc_r["mu"], msg="mu after file roundtrip")
+
+
+@pytest.fixture(scope="module")
+def ref_tf(ref_res):
+    return importlib.import_module("scrubvae.model.transformer")
+
+
+class TestTransformerImport:
+    """Differential parity for the transformer family (reference
+    model/transformer.py:29-167): reference torch TransformerVAE weights
+    imported via convert_transformer_state_dict must reproduce the reference
+    encoder's (mu, L) and the reference decoder's output in eval mode.
+    window=50 because the reference hardcodes the head input as z_dim*50
+    (transformer.py:63-66)."""
+
+    Z, W, C, HEADS, FF, LAYERS = 16, 50, 21, 4, 32, 2
+
+    def _pair(self, ref_tf, seed=0):
+        from scrubvae_tpu.models.transformer import (
+            TransformerDecoder,
+            TransformerEncoder,
+        )
+
+        torch.manual_seed(seed)
+        ref = ref_tf.TransformerVAE(
+            in_channels=self.C, z_dim=self.Z, window=self.W,
+            n_heads=self.HEADS, ff_size=self.FF, n_layers=self.LAYERS,
+            is_diag=False,
+        )
+        ref.eval()
+        enc = TransformerEncoder(
+            z_dim=self.Z, window=self.W, n_heads=self.HEADS,
+            ff_size=self.FF, n_layers=self.LAYERS, is_diag=False,
+        )
+        dec = TransformerDecoder(
+            out_channels=self.C, z_dim=self.Z, window=self.W,
+            n_heads=self.HEADS, ff_size=self.FF, n_layers=self.LAYERS,
+        )
+        x0 = jnp.zeros((2, self.W, self.C))
+        enc_vars = enc.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+        dec_vars = dec.init(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((2, self.Z)), train=False
+        )
+        sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+        enc_new, _, enc_unfilled = ti.convert_transformer_state_dict(
+            sd, enc_vars, n_heads=self.HEADS
+        )
+        dec_new, unmapped, dec_unfilled = ti.convert_transformer_state_dict(
+            sd, dec_vars, n_heads=self.HEADS
+        )
+        assert enc_unfilled == [], enc_unfilled
+        assert dec_unfilled == [], dec_unfilled
+        # every reference key lands in one of the two trees (pe buffers are
+        # recomputed constants here)
+        leftover = [k for k in unmapped if ".pe" not in k and "encoder." not in k]
+        assert leftover == [], leftover
+        return ref, enc, dec, enc_new, dec_new
+
+    def test_encoder_parity(self, ref_tf):
+        ref, enc, _, enc_vars, _ = self._pair(ref_tf)
+        rng = np.random.default_rng(0)
+        x = np.tanh(rng.normal(size=(3, self.W, self.C))).astype(np.float32)
+        with torch.no_grad():
+            mu_t, L_t = ref.encoder(torch.from_numpy(x.transpose(0, 2, 1)))
+        mu, L = enc.apply(enc_vars, jnp.asarray(x), train=False)
+        assert_close(mu, mu_t, rtol=5e-4, atol=5e-5, msg="transformer mu")
+        assert_close(L, L_t, rtol=5e-4, atol=5e-5, msg="transformer L")
+
+    def test_decoder_parity(self, ref_tf):
+        ref, _, dec, _, dec_vars = self._pair(ref_tf, seed=1)
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=(3, self.Z)).astype(np.float32)
+        with torch.no_grad():
+            out_t = ref.decoder(torch.from_numpy(z))  # (B, C, W)
+        out = dec.apply(dec_vars, jnp.asarray(z), train=False)  # (B, W, C)
+        assert_close(
+            out.transpose(0, 2, 1), out_t, rtol=5e-4, atol=5e-5,
+            msg="transformer decoder",
+        )
