@@ -274,7 +274,7 @@ def convert_resvae_state_dict(
 def convert_transformer_state_dict(
     sd: Dict[str, np.ndarray],
     variables: Dict,
-    n_heads: int = 4,
+    n_heads: int | None = None,
 ) -> Tuple[Dict, list, list]:
     """Map a reference TransformerVAE state_dict
     (/root/reference/src/scrubvae/model/transformer.py:29-167) onto our flax
@@ -294,6 +294,17 @@ def convert_transformer_state_dict(
     flat = flax.traverse_util.flatten_dict(variables, sep="/")
     out = dict(flat)
     used, filled = set(), set()
+
+    if n_heads is None:
+        # infer from any flax attention kernel: shape (d, heads, head_dim)
+        qshapes = [
+            v.shape for p, v in flat.items() if p.endswith("query/kernel")
+        ]
+        if not qshapes:
+            raise ValueError(
+                "cannot infer n_heads: no attention kernels in the tree"
+            )
+        n_heads = int(qshapes[0][1])
 
     def take(key: str):
         if key in sd:
@@ -409,9 +420,14 @@ def convert_transformer_state_dict(
 
 def import_torch_weights(path, variables: Dict, verbose: bool = True) -> Dict:
     """One-call import: load ``path`` and return the updated variables tree
-    (strict=False: mismatches reported on stdout, never fatal)."""
+    (strict=False: mismatches reported on stdout, never fatal). Dispatches
+    on the checkpoint's own keys: a reference TransformerVAE state_dict
+    (transformer.py:29-167) carries ``encoder.pose_embedding.*``."""
     sd = load_torch_state_dict(path)
-    new_vars, unmapped, unfilled = convert_resvae_state_dict(sd, variables)
+    if any(k.startswith("encoder.pose_embedding.") for k in sd):
+        new_vars, unmapped, unfilled = convert_transformer_state_dict(sd, variables)
+    else:
+        new_vars, unmapped, unfilled = convert_resvae_state_dict(sd, variables)
     if verbose and unmapped:
         print(f"torch_import: {len(unmapped)} reference keys not mapped: "
               f"{unmapped[:8]}{'...' if len(unmapped) > 8 else ''}")

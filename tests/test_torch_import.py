@@ -334,9 +334,8 @@ class TestTransformerImport:
             {"params": jax.random.PRNGKey(1)}, jnp.zeros((2, self.Z)), train=False
         )
         sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
-        enc_new, _, enc_unfilled = ti.convert_transformer_state_dict(
-            sd, enc_vars, n_heads=self.HEADS
-        )
+        # n_heads deliberately omitted: inferred from the attention kernels
+        enc_new, _, enc_unfilled = ti.convert_transformer_state_dict(sd, enc_vars)
         dec_new, unmapped, dec_unfilled = ti.convert_transformer_state_dict(
             sd, dec_vars, n_heads=self.HEADS
         )
