@@ -191,6 +191,12 @@ class FusedAdamW:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Bool pytree (params treedef) marking tensor-parallel-sharded
+        # leaves (parallel/mesh.py tp_mask): those run the plain-XLA
+        # elementwise update, which GSPMD partitions shard-locally; a
+        # Pallas custom call on a sharded operand would force an
+        # all-gather. Set by the Trainer when a model mesh axis is active.
+        self.tp_mask = None
 
     def _leaf_lowp(self, p) -> bool:
         """Per-leaf moment storage: bf16 only where it pays (see
@@ -233,6 +239,11 @@ class FusedAdamW:
         w_leaves = treedef.flatten_up_to(params)
         mu_leaves = treedef.flatten_up_to(state.mu)
         nu_leaves = treedef.flatten_up_to(state.nu)
+        tp_leaves = (
+            treedef.flatten_up_to(self.tp_mask)
+            if self.tp_mask is not None
+            else [False] * len(g_leaves)
+        )
 
         key, sub = jax.random.split(state.key)
         # int32 per-leaf seed base for the hardware PRNG, fresh each step
@@ -248,6 +259,7 @@ class FusedAdamW:
             lowp = self._leaf_lowp(w)
             if (
                 self.use_pallas
+                and not tp_leaves[i]
                 and w.size >= self.MIN_PALLAS_ELEMS
                 and w.dtype in (jnp.float32, jnp.bfloat16)
             ):

@@ -58,26 +58,28 @@ class Trainer:
         # clamp so one full-dataset batch always runs.
         self.batch_size = max(1, min(self.batch_size, len(datasets["train"])))
 
-        # train.mesh: data-parallel SPMD over a 1-D jax.sharding mesh.
-        # Accepts {"data": N}, an int, or true (N = -1/None/true = every
-        # visible device). The global batch is sharded over the "data"
-        # axis; state is replicated; XLA inserts gradient/moment psums
-        # (parallel/mesh.py, SURVEY §2.2). None/absent = single device.
+        # train.mesh: SPMD over a jax.sharding mesh. Accepts {"data": N},
+        # {"data": N, "model": M}, an int, or true (N = -1/None/true =
+        # every visible device). The global batch is sharded over the
+        # "data" axis; state is replicated except the sigma head, which an
+        # optional "model" axis column-shards (parallel/mesh.py TP_RULES);
+        # XLA inserts gradient/moment psums (SURVEY §2.2). None/absent =
+        # single device.
         mesh_cfg = config["train"].get("mesh")
         self.mesh = None
         if mesh_cfg and jax.device_count() > 1:
-            from scrubvae_tpu.parallel import make_mesh
+            from scrubvae_tpu.parallel import data_axis_size, make_mesh
 
             if isinstance(mesh_cfg, dict):
-                n = mesh_cfg.get("data")
+                spec = dict(mesh_cfg)
             elif isinstance(mesh_cfg, bool):
-                n = None
+                spec = None
             else:
-                n = int(mesh_cfg)
-            n = None if n in (None, -1) else int(n)
-            self.mesh = make_mesh(n)
-            per = self.mesh.devices.size
-            # static shapes: the sharded batch must divide the mesh
+                spec = int(mesh_cfg)
+                spec = None if spec == -1 else spec
+            self.mesh = make_mesh(spec)
+            per = data_axis_size(self.mesh)
+            # static shapes: the sharded batch must divide the data axis
             if self.batch_size % per:
                 self.batch_size = max(per, (self.batch_size // per) * per)
         self.loss_cfg = dict(config.get("loss") or {})
@@ -146,9 +148,14 @@ class Trainer:
         self.start_epoch = int(config["model"].get("start_epoch") or 0)
         self._maybe_restore()
         if self.mesh is not None:
-            from scrubvae_tpu.parallel import replicate
+            from scrubvae_tpu.parallel import place_state, tp_mask
 
-            self.state = replicate(self.state, self.mesh)
+            self.state = place_state(self.state, self.mesh)
+            if isinstance(self.tx, optim.FusedAdamW):
+                # TP-sharded leaves take the plain-XLA elementwise update
+                # (GSPMD partitions it shard-locally; the Pallas custom
+                # call would force an all-gather)
+                self.tx.tp_mask = tp_mask(self.state.params, self.mesh)
 
         self.feat_slices = feature_slices(
             info["conditional_keys"], info["feat_dims"]
@@ -223,9 +230,11 @@ class Trainer:
             return idx
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from scrubvae_tpu.parallel import data_axis_size
+
         # Ragged eval-tail batches (len(val) % batch_size) need not divide
         # the mesh; run those replicated (correct, just not parallel).
-        if idx.shape[-1] % self.mesh.devices.size:
+        if idx.shape[-1] % data_axis_size(self.mesh):
             spec = P()
         elif idx.ndim == 2:
             spec = P(None, "data")
