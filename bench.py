@@ -26,7 +26,8 @@ import numpy as np
 
 
 def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = True,
-          bf16_params: bool = False, sigma_rank: int = 0):
+          bf16_params: bool = False, sigma_rank: int = 0,
+          host_stream: bool = False):
     from scrubvae_tpu import factory
     from scrubvae_tpu.data.dataset import StreamDataset
     from scrubvae_tpu.data.pipeline import build_frame_store
@@ -48,6 +49,10 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = Tr
         arena_size=arena,
         discrete_classes={"ids": np.unique(ids)},
     )
+    if host_stream:
+        from scrubvae_tpu.data.hoststream import HostStreamDataset
+
+        ds = HostStreamDataset.from_stream(ds)
     cfg = {
         "data": {
             "batch_size": batch,
@@ -171,6 +176,11 @@ def main():
         help="low-rank fc_sigma factorization (model.sigma_head_rank;"
         " config-gated deviation, 0 = reference-exact dense head)",
     )
+    ap.add_argument(
+        "--host-stream", action="store_true",
+        help="host-RAM frame store + double-buffered slab prefetch"
+        " (data.host_stream; measures the capacity-axis streaming path)",
+    )
     args = ap.parse_args()
 
     ch = (8, 8, 16, 16, 32) if args.small else (64, 128, 256, 512, 1024)
@@ -183,7 +193,7 @@ def main():
     bf16_params = not args.f32_params and not args.small
     trainer, ds = build(batch, args.window, 16 if args.small else args.z_dim, ch, args.small,
                         fused=not args.no_fused, bf16_params=bf16_params,
-                        sigma_rank=args.sigma_rank)
+                        sigma_rank=args.sigma_rank, host_stream=args.host_stream)
     loss_scale = trainer.loss_scale_for_epoch(1)
     n = len(ds)
     rng = np.random.default_rng(0)
@@ -194,6 +204,45 @@ def main():
         return jnp.asarray(
             rng.integers(0, n, size=(steps, batch)), dtype=jnp.int32
         )
+
+    if args.host_stream:
+        # Capacity-axis path: per-step feed of prefetched host slabs
+        # (data/hoststream.py). Measures the streaming overhead vs the
+        # device-resident scanned epoch (the default measurement below).
+        from scrubvae_tpu.data.hoststream import prefetch_to_device
+
+        batches = [rng.integers(0, n, size=batch) for _ in range(args.steps)]
+
+        def run_epoch(st):
+            metrics = None
+            for slab in prefetch_to_device(
+                trainer.train_ds.epoch_slabs(batches), size=2
+            ):
+                st, metrics = trainer.train_step(st, slab, loss_scale)
+            jax.block_until_ready(metrics)
+            return st, metrics
+
+        state, metrics = run_epoch(state)  # compile + warm
+        t0 = time.perf_counter()
+        state, metrics = run_epoch(state)
+        dt = time.perf_counter() - t0
+        total = float(metrics["total"])
+        assert np.isfinite(total), f"non-finite loss in host-stream bench: {total}"
+        sps_per_chip = batch * args.steps / dt / max(jax.device_count(), 1)
+        out = {
+            "metric": "train_samples_per_sec_per_chip",
+            "value": round(sps_per_chip, 2),
+            "unit": "samples/sec/chip",
+            "host_stream": True,
+            "step_ms": round(dt / args.steps * 1e3, 3),
+            "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+        }
+        baseline_path = pathlib.Path(__file__).parent / "BENCH_BASELINE.json"
+        if baseline_path.exists():
+            base = json.loads(baseline_path.read_text())
+            out["vs_baseline"] = round(sps_per_chip / base["value"], 3)
+        print(json.dumps(out))
+        return
 
     # Measure the real training path: the device-resident scanned epoch
     # (one dispatch per chunk of steps), as used by Trainer.train_epoch.

@@ -329,6 +329,14 @@ def mouse_data(
             discrete_classes=discrete,
             extras=extras,
         )
+        # data.host_stream: keep the TRAIN frame store in host RAM and
+        # stream per-batch slabs (data/hoststream.py) — for corpora larger
+        # than HBM. Val/test splits stay device-resident (they are read
+        # repeatedly by the scanned eval epoch).
+        if data_config.get("host_stream") and train_val_test == "train":
+            from scrubvae_tpu.data.hoststream import HostStreamDataset
+
+            ds = HostStreamDataset.from_stream(ds)
         return ds
 
     # Preprocessed per-key h5 files (reference get/data.py:32-44 layout)

@@ -12,6 +12,7 @@ PARAM_KEYS = dict(
         "dataset",
         "direction_process",
         "encoder_direction_process",  # aligned encoder view (TPU addition)
+        "host_stream",  # host-RAM frame store + slab prefetch (TPU addition)
         "normalize",
         "remove_speed_outliers",
         "stride",
@@ -66,5 +67,6 @@ PARAM_KEYS = dict(
         "clip_norm",  # grad-clip max norm; 0 disables; None = 1e6 parity
         "scan_epoch",  # device-resident batch loop (default on)
         "eval_start_epoch",  # first epoch for val metrics (reference: 50)
+        "halt_on_nonfinite",  # divergence tripwire (default on)
     ],
 )

@@ -94,6 +94,23 @@ class Trainer:
         self.steps_per_epoch = max(n // self.batch_size, 1)
         self.tx = optim.make_optimizer(self.train_cfg, self.steps_per_epoch)
 
+        # Host-streaming train split (data.host_stream; data/hoststream.py):
+        # the frame store lives in host RAM and per-batch slabs prefetch to
+        # the device on a background thread. The step's batch_fn assembles
+        # windows from the slab instead of gathering from the HBM store,
+        # and the train epoch runs per-step (the scanned epoch needs the
+        # whole store on device).
+        from scrubvae_tpu.data.hoststream import HostStreamDataset
+
+        self.host_stream = isinstance(self.train_ds, HostStreamDataset)
+        if isinstance(self.val_ds, HostStreamDataset):
+            raise ValueError(
+                "host-streaming val splits are unsupported: the scanned eval "
+                "epoch gathers windows inside jit, which needs the store "
+                "device-resident (data.host_stream applies to the train "
+                "split only; subsample the val split instead)"
+            )
+
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng, scrub_rng = jax.random.split(rng, 3)
 
@@ -178,7 +195,11 @@ class Trainer:
             mcmi_var_mode=self.dis_cfg.get("var_mode") or "sphere",
             adv_fit=bool(self.dis_cfg.get("adv_fit", True)),
             adv_n_iter=int(self.dis_cfg.get("n_iter") or 5),
-            batch_fn=self._batch_fn(self.train_ds),
+            batch_fn=(
+                self.train_ds.make_batch_fn()
+                if self.host_stream
+                else self._batch_fn(self.train_ds)
+            ),
             # None = PARAM_KEYS-filled "unset" (params/read.py) — default on
             donate=self.train_cfg.get("donate") is not False,
             **common,
@@ -190,9 +211,13 @@ class Trainer:
         # must mean "default on" — only an explicit false opts out.
         _scan = self.train_cfg.get("scan_epoch")
         self.use_scan_epoch = True if _scan is None else bool(_scan)
+        # Host streaming feeds slabs per step; the scanned TRAIN epoch needs
+        # the full store device-resident (eval scanning is unaffected: the
+        # val split stays device-resident).
+        self.scan_train = self.use_scan_epoch and not self.host_stream
         self.train_epoch_fn = (
             make_train_epoch(self.model, self.tx, tree, **step_kwargs)
-            if self.use_scan_epoch
+            if self.scan_train
             else None
         )
         self.eval_step = (
@@ -293,7 +318,7 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         loss_scale = self.loss_scale_for_epoch(epoch)
-        if self.use_scan_epoch:
+        if self.scan_train:
             n = len(self.train_ds)
             steps = max(n // self.batch_size, 1)
             perm = self.np_rng.permutation(n)[: steps * self.batch_size]
@@ -304,14 +329,32 @@ class Trainer:
             return {k: float(v) for k, v in metrics.items()}
         sums: Dict[str, float] = {}
         count = 0
-        for idx in epoch_batches(len(self.train_ds), self.batch_size, self.np_rng):
-            self.state, metrics = self.train_step(
-                self.state, self._device_idx(idx), loss_scale
-            )
+        for batch in self._step_batches():
+            self.state, metrics = self.train_step(self.state, batch, loss_scale)
             count += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v
         return {k: float(v) / max(count, 1) for k, v in sums.items()}
+
+    def _step_batches(self):
+        """Per-step batch feed: window indices for device-resident data,
+        prefetched device slabs for a host-streaming train split."""
+        batches = epoch_batches(len(self.train_ds), self.batch_size, self.np_rng)
+        if not self.host_stream:
+            for idx in batches:
+                yield self._device_idx(idx)
+            return
+        from scrubvae_tpu.data.hoststream import prefetch_to_device
+
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # capacity axis, not throughput: slabs replicate under a mesh
+            sharding = NamedSharding(self.mesh, P())
+        yield from prefetch_to_device(
+            self.train_ds.epoch_slabs(batches), size=2, sharding=sharding
+        )
 
     def _gen_restrict_keys(self):
         return tuple(
@@ -496,11 +539,30 @@ class Trainer:
                 out[f"lambda_qda_{k}"] = float(np.asarray(st.lama).mean())
         return out
 
+    def _check_finite(self, train_metrics: Dict[str, float], epoch: int):
+        """Divergence tripwire: a non-finite epoch loss halts the run with a
+        diagnostic checkpoint instead of silently training dead weights for
+        the remaining epochs (the reference trains on, writing NaN rows,
+        reference trainer.py:322-516). Opt out with
+        ``train.halt_on_nonfinite: false`` (PARAM_KEYS None-fill: unset
+        means default-on); the cost is one host float check per epoch."""
+        flag = self.train_cfg.get("halt_on_nonfinite")
+        if flag is False or np.isfinite(train_metrics.get("total", 0.0)):
+            return
+        bad = {k: v for k, v in train_metrics.items() if not np.isfinite(v)}
+        path = ckpt.save_train_state(self.out_path, epoch, self.state)
+        raise FloatingPointError(
+            f"non-finite training loss at epoch {epoch}: {bad}; "
+            f"diagnostic train state saved to {path} "
+            "(set train.halt_on_nonfinite: false to train through)"
+        )
+
     def fit(self, num_epochs: Optional[int] = None):
         num_epochs = num_epochs or int(self.train_cfg.get("num_epochs") or 1)
         for epoch in range(self.start_epoch + 1, num_epochs + 1):
             t0 = time.time()
             train_metrics = self.train_epoch(epoch)
+            self._check_finite(train_metrics, epoch)
             metrics = {f"{k}_train": v for k, v in train_metrics.items()}
             self.reset_gr(epoch)
             metrics.update(self.lambda_metrics())

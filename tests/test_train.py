@@ -504,3 +504,29 @@ class TestLowPrecisionAdam:
         np.testing.assert_allclose(
             np.asarray(new["w"]), 1.0 - 0.1 * 0.01, rtol=1e-5
         )
+
+
+class TestNonfiniteTripwire:
+    def test_halts_with_diagnostic_state(self, dataset, tmp_path):
+        """A NaN epoch loss raises (instead of training dead weights on)
+        and leaves a diagnostic train-state checkpoint; the divergence
+        tripwire is default-on under PARAM_KEYS None-fill and opt-out via
+        train.halt_on_nonfinite: false."""
+        cfg = base_config(tmp_path)
+        model, info = factory.build_model(
+            cfg["model"], cfg["disentangle"], n_keypts=dataset.n_keypts,
+            direction_process="midfwd", arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+            loss_keys=cfg["loss"].keys(),
+        )
+        tr = Trainer(cfg, {"train": dataset}, model, info)
+        tr.train_epoch = lambda epoch: {"total": float("nan"), "rotation": 1.0}
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            tr.fit(num_epochs=1)
+        assert (pathlib.Path(cfg["out_path"]) / "checkpoints" / "epoch_1.msgpack").exists()
+
+        cfg2 = base_config(tmp_path / "optout")
+        cfg2["train"]["halt_on_nonfinite"] = False
+        tr2 = Trainer(cfg2, {"train": dataset}, model, info)
+        tr2.train_epoch = lambda epoch: {"total": float("nan")}
+        tr2.fit(num_epochs=1)  # trains through (reference behavior)
