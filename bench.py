@@ -27,7 +27,7 @@ import numpy as np
 
 def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = True,
           bf16_params: bool = False, sigma_rank: int = 0,
-          host_stream: bool = False):
+          host_stream: bool = False, mesh=None):
     from scrubvae_tpu import factory
     from scrubvae_tpu.data.dataset import StreamDataset
     from scrubvae_tpu.data.pipeline import build_frame_store
@@ -99,6 +99,7 @@ def build(batch: int, window: int, z_dim: int, ch, small: bool, fused: bool = Tr
             "lr_schedule": "cawr",
             "num_epochs": 1,
             "seed": 0,
+            "mesh": mesh,
             "donate": True,
             # 1e6-clip is a no-op tripwire; skip the extra full-grad read
             "clip_norm": 0,
