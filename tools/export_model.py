@@ -62,6 +62,9 @@ def main():
     (out_dir / "meta.json").write_text(json.dumps({
         "epoch": epoch, "z_dim": info["z_dim"],
         "encoder_inputs": enc_keys, "decoder_conditionals": list(cond),
+        # per-input trailing shapes (batch dim symbolic in the artifacts)
+        "input_shapes": {k: list(batch[k].shape[1:]) for k in enc_keys},
+        "conditional_shapes": {k: list(batch[k].shape[1:]) for k in cond},
     }, indent=1))
     print(f"exported epoch {epoch} -> {out_dir}")
 
