@@ -17,10 +17,21 @@ is the regression anchor.
 
 import argparse
 import json
+import os
 import pathlib
 import time
 
 import jax
+
+# Honor JAX_PLATFORMS at the *config* level: the host image's sitecustomize
+# force-registers the axon (TPU) backend with jax_platforms='axon,cpu'
+# regardless of the env var, so an explicit JAX_PLATFORMS=cpu request (e.g.
+# the --small CPU smoke while the TPU tunnel is wedged) must be re-applied
+# here or backend init hangs on the tunnel.
+_env_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _env_platforms and "axon" not in _env_platforms:
+    jax.config.update("jax_platforms", _env_platforms)
+
 import jax.numpy as jnp
 import numpy as np
 
