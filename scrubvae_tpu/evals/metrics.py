@@ -24,6 +24,7 @@ __all__ = [
     "mlp_rand_cv",
     "train_mlp_probe",
     "custom_cv_5folds",
+    "decodability_class_window",
     "mmd_estimate",
     "shannon_entropy",
     "hungarian_match",
@@ -31,6 +32,19 @@ __all__ = [
     "epoch_regression",
     "epoch_cluster_entropy",
 ]
+
+
+def decodability_class_window(dataset_name, window: int) -> int:
+    """Downsample interval for *classification* decodability folds.
+
+    The reference strides classification folds by ``window // stride`` with
+    stride 10 on every dataset except ``4_mice`` (i.e. the parkinsons disease
+    data sees ~10x more rows per fold); regression folds always use the full
+    window (reference eval/metrics.py:160,204-211). Clamped to >=1 — the
+    reference would pass a zero stride (and crash) for window < 10.
+    """
+    stride = 1 if dataset_name == "4_mice" else 10
+    return max(window // stride, 1)
 
 
 def custom_cv_5folds(i: int, ids: np.ndarray, folds: int = 5):
@@ -46,6 +60,15 @@ def custom_cv_5folds(i: int, ids: np.ndarray, folds: int = 5):
     return idx_train, idx_test
 
 
+class FoldResults(list):
+    """Per-fold metric list; ``folds_used`` records how many folds actually
+    ran (== the requested count unless the downsampled set was too small to
+    split, in which case rand_cv clamps — surfaced here so the clamp is a
+    visible part of the result, not a silent semantic change)."""
+
+    folds_used: int = 0
+
+
 def rand_cv(func):
     """Window-stride downsample + KFold(seed 100) wrapper
     (reference metrics.py:231-260)."""
@@ -56,13 +79,24 @@ def rand_cv(func):
 
         z = np.asarray(z)
         y_true = np.asarray(y_true)
-        met = []
+        met = FoldResults()
         dz = z[::window]
         dy = y_true[::window]
         # Tiny datasets (smoke runs) may downsample below the fold count.
+        requested = folds
         folds = int(min(folds, len(dz)))
+        if folds < requested:
+            import warnings
+
+            warnings.warn(
+                f"{func.__name__}: only {len(dz)} downsampled samples — "
+                f"clamping {requested} folds to {folds}",
+                stacklevel=2,
+            )
+        met.folds_used = folds
         if folds < 2:
-            return [float("nan")]
+            met.append(float("nan"))
+            return met
         kf = KFold(n_splits=folds, shuffle=True, random_state=100)
         for fold_i, (train_i, test_i) in enumerate(kf.split(dz)):
             try:
@@ -328,6 +362,7 @@ def epoch_regression(
             metrics.update({k: {"R2": []} for k in disentangle_keys})
 
     window = config["model"].get("window") or 51
+    class_window = decodability_class_window(config["data"].get("dataset"), window)
     for epoch in epochs_to_test:
         z = get_latents(config, epoch=epoch, dataset=dataset, label=dataset_label)
         for key in disentangle_keys:
@@ -338,11 +373,11 @@ def epoch_regression(
                 metrics[key]["R2"].append(mlp_rand_cv(z, y, window, 5))
             elif method == "log_class_rand_cv":
                 metrics[key]["Accuracy"].append(
-                    log_class_rand_cv(z, y.astype(int), window, 5)
+                    log_class_rand_cv(z, y.astype(int), class_window, 5)
                 )
             elif method == "qda_rand_cv":
                 metrics[key]["Accuracy"].append(
-                    qda_rand_cv(z, y.astype(int), window, 5)
+                    qda_rand_cv(z, y.astype(int), class_window, 5)
                 )
     return metrics
 
@@ -367,6 +402,12 @@ def epoch_cluster_entropy(
     if "Entropy" not in metrics:
         metrics["Entropy"] = []
     k_preds0 = np.load(comparison_clustering)
+    # reference metrics.py:105 — the comparison clustering must cover the
+    # dataset sample-for-sample or the per-cluster histograms are garbage
+    assert len(dataset) == len(k_preds0), (
+        f"comparison clustering has {len(k_preds0)} predictions for "
+        f"{len(dataset)} dataset samples"
+    )
 
     for epoch in epochs_to_test:
         z = get_latents(config, epoch=epoch, dataset=dataset, label=dataset_label)

@@ -43,20 +43,9 @@ SKEL = load_skeleton("configs/mouse_skeleton.yaml")
 def ref():
     """Reference math modules, loaded without executing the package
     __init__ (which imports the full torch/neuroposelib/wandb stack)."""
-    for name in ("neuroposelib", "wandb"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.read = types.SimpleNamespace()  # dataset.py: from neuroposelib import read
-            sys.modules[name] = mod
-    for pkg, path in (
-        ("scrubvae", REF / "scrubvae"),
-        ("scrubvae.data", REF / "scrubvae" / "data"),
-        ("scrubvae.train", REF / "scrubvae" / "train"),
-    ):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [str(path)]
-            sys.modules[pkg] = mod
+    from _ref_stubs import install_ref_stubs
+
+    install_ref_stubs()
     return types.SimpleNamespace(
         q=importlib.import_module("scrubvae.data.quaternion"),
         rc=importlib.import_module("scrubvae.data.rotation_conversion"),

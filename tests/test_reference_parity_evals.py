@@ -45,32 +45,9 @@ SKEL = load_skeleton("configs/mouse_skeleton.yaml")
 @pytest.fixture(scope="module")
 def ref():
     """Reference eval modules, loaded without the package __init__ chain."""
-    if "neuroposelib" not in sys.modules:
-        npl = types.ModuleType("neuroposelib")
-        npl.read = types.SimpleNamespace()
-        npl.visualization = types.SimpleNamespace()
-        npl.DataStruct = object
-        sys.modules["neuroposelib"] = npl
-    if "wandb" not in sys.modules:
-        wandb = types.ModuleType("wandb")
-        wandb.log = lambda *a, **k: None
-        sys.modules["wandb"] = wandb
-    for pkg in (
-        "scrubvae",
-        "scrubvae.model",
-        "scrubvae.train",
-        "scrubvae.data",
-        "scrubvae.eval",
-        "scrubvae.plot",
-    ):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [str(REF / pkg.replace(".", "/"))]
-            sys.modules[pkg] = mod
-    # metrics.py imports `from scrubvae import get` (unused on these paths)
-    if "scrubvae.get" not in sys.modules:
-        sys.modules["scrubvae.get"] = types.ModuleType("scrubvae.get")
-        sys.modules["scrubvae"].get = sys.modules["scrubvae.get"]
+    from _ref_stubs import install_ref_stubs
+
+    install_ref_stubs()
     # eval.eval imports `from scrubvae.plot import trace, PLANE`
     constants = importlib.import_module("scrubvae.plot.constants")
     plot_pkg = sys.modules["scrubvae.plot"]
@@ -140,6 +117,60 @@ class TestRandCVParity:
             )
         # saga is iterative; accuracies agree to the fold level
         np.testing.assert_allclose(ours, theirs, atol=0.02)
+
+    def test_log_class_multiclass(self, ref):
+        """Multiclass (4-way) logistic decodability — the regime where the
+        reference's forced multi_class="ovr" and our modern multinomial
+        default could genuinely diverge (ADVICE r2). Where the installed
+        sklearn still accepts the reference's signature this asserts parity;
+        otherwise the OVR-vs-multinomial gap stays a documented deviation
+        (PARITY.md) and we at least pin our own multiclass behavior."""
+        rng = np.random.default_rng(7)
+        n, d, k = 800, 8, 4
+        centers = rng.normal(size=(k, d)) * 2.0
+        y = np.repeat(np.arange(k), n // k)
+        rng.shuffle(y)
+        z = centers[y] + rng.normal(size=(n, d))
+        y = y.astype(np.int64)[:, None]
+        ours = our_metrics.log_class_rand_cv(z, y, 5, 5)
+        # well-separated clusters: the probe must decode well regardless of
+        # the multinomial-vs-OVR formulation
+        assert np.mean(ours) > 0.9
+        try:
+            theirs = ref.met.log_class_rand_cv(z, y, 5, 5)
+        except TypeError:
+            pytest.skip(
+                "installed sklearn removed LogisticRegression(multi_class=)"
+                " — OVR-vs-multinomial multiclass gap is a documented"
+                " deviation (PARITY.md)"
+            )
+        np.testing.assert_allclose(ours, theirs, atol=0.03)
+
+    def test_parkinsons_fold_convention(self, ref):
+        """The parkinsons classification folds downsample by window//stride
+        (stride 10) — reference eval/metrics.py:160,204-211. Drive a probe
+        function through BOTH rand_cv decorators and compare the fold index
+        sets themselves."""
+        n, window = 2040, 51
+        z = np.arange(n, dtype=np.float64)[:, None]  # z values ARE indices
+        y = np.zeros((n, 1), dtype=np.int64)
+
+        def probe(z_train, y_train, z_test, y_test):
+            return (
+                tuple(z_train[:, 0].astype(int).tolist()),
+                tuple(z_test[:, 0].astype(int).tolist()),
+            )
+
+        cw = our_metrics.decodability_class_window("parkinsons", window)
+        assert cw == window // 10 == 5
+        ours = our_metrics.rand_cv(probe)(z, y, cw, 5)
+        theirs = ref.met.rand_cv(probe)(z, y, window // 10, 5)
+        assert ours == theirs
+        # and 4_mice keeps the full-window interval
+        assert our_metrics.decodability_class_window("4_mice", window) == window
+        # the two conventions genuinely differ (10x the rows per fold)
+        full = our_metrics.rand_cv(probe)(z, y, window, 5)
+        assert len(full[0][0]) * 10 // 2 < len(ours[0][0])
 
 
 class TestAuxMetricParity:

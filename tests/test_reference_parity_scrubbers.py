@@ -46,14 +46,9 @@ from scrubvae_tpu.models import scrubbers as scr  # noqa: E402
 @pytest.fixture(scope="module")
 def dis():
     """Reference disentangle module, loaded without the package __init__."""
-    for pkg, path in (
-        ("scrubvae", REF / "scrubvae"),
-        ("scrubvae.model", REF / "scrubvae" / "model"),
-    ):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [str(path)]
-            sys.modules[pkg] = mod
+    from _ref_stubs import install_ref_stubs
+
+    install_ref_stubs()
     return importlib.import_module("scrubvae.model.disentangle")
 
 
