@@ -53,6 +53,16 @@ def main():
                 print(f"[{split}] no pose.h5 found, skipping")
                 continue
         pose, ids = read_pose_h5(pose_file)
+        # Identity speed normalization: the reference's preprocessed files
+        # carry RAW avg_speed_3d - the hardcoded mean/std is applied by the
+        # LOADER (reference get/data.py:57-66, factory.mouse_data), so
+        # exporting normalized values would double-normalize on read.
+        raw_norm = {
+            "avg_speed_3d": {
+                "mean": np.zeros(3, np.float32),
+                "std": np.ones(3, np.float32),
+            }
+        }
         store = build_frame_store(
             pose,
             ids,
@@ -60,6 +70,7 @@ def main():
             window=args.window,
             stride=args.stride,
             speed_threshold=args.speed_threshold,
+            norm_params=raw_norm,
         )
         data = materialize(
             store, skeleton.tree, tuple(args.keys), args.direction_process

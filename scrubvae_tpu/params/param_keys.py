@@ -30,6 +30,11 @@ PARAM_KEYS = dict(
         # trainer.py:144) - declared here so configs can't crash on them:
         "l2_reg",
         "n_iter",
+        # documented-deviation gates (PARITY.md): live adversarial inner fit
+        # (the reference's is dead code) and the reference's in-loop GR
+        # ensemble-loss division (geometric head down-weighting):
+        "adv_fit",
+        "gr_legacy_norm",
     ],
     model=[
         "activation",

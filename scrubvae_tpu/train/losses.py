@@ -140,22 +140,30 @@ def compute_batch_loss(
 
             elif method == "grad_reversal":
                 heads = data_o["disentangle"]["grad_reversal"][key]
+                # The reference divides the *accumulated* loss inside the
+                # head loop (losses.py:279-284), geometrically down-weighting
+                # earlier ensemble members - a bug per SURVEY.md 3.6. Default
+                # here is the intended single normalization; set
+                # disentangle.gr_legacy_norm to reproduce the reference
+                # semantics exactly (PARITY.md documented deviations; the
+                # gradient parity tests flip on this gate).
+                legacy = bool(disentangle_config.get("gr_legacy_norm"))
+                denom = len(heads) * num_keys * batch_size
                 total = jnp.asarray(0.0)
                 for gr_e in heads:
                     if key == "ids":
                         labels = data[key].reshape(-1).astype(jnp.int32)
-                        total = total + jnp.sum(
+                        head_loss = jnp.sum(
                             -jax.nn.log_softmax(gr_e, axis=-1)[
                                 jnp.arange(gr_e.shape[0]), labels
                             ]
                         )
                     else:
-                        total = total + L.mse_sum(gr_e, data[key])
-                # NOTE: the reference divides inside the head loop
-                # (losses.py:279-284), geometrically down-weighting earlier
-                # heads - a bug per SURVEY.md 3.6. We implement the intended
-                # single normalization.
-                bl[key + "_gr"] = total / len(heads) / num_keys / batch_size
+                        head_loss = L.mse_sum(gr_e, data[key])
+                    total = total + head_loss
+                    if legacy:
+                        total = total / denom
+                bl[key + "_gr"] = total if legacy else total / denom
 
             elif method == "moving_avg":
                 st = scrub_state["moving_avg"][key]

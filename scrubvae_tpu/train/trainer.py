@@ -476,6 +476,10 @@ class Trainer:
         out = {}
         window = self.info["window"]
         dataset_name = self.config["data"].get("dataset")
+        # classification folds downsample by window//stride (stride 10 on
+        # every dataset but 4_mice - reference eval/metrics.py:160,204-211);
+        # regression folds keep the full window
+        class_window = em.decodability_class_window(dataset_name, window)
         if self.train_cfg.get("minimal_test"):
             return out
         if dataset_name == "parkinsons":
@@ -484,11 +488,11 @@ class Trainer:
                 y = np.asarray(self.val_ds.batch(jnp.arange(len(self.val_ds)))[key])
                 self._fold_summary(
                     out, f"acc_{key}_log",
-                    em.log_class_rand_cv(z_val, y.astype(int), window, 5),
+                    em.log_class_rand_cv(z_val, y.astype(int), class_window, 5),
                 )
                 self._fold_summary(
                     out, f"acc_{key}_qda",
-                    em.qda_rand_cv(z_val, y.astype(int), window, 5),
+                    em.qda_rand_cv(z_val, y.astype(int), class_window, 5),
                 )
         else:
             full = self.val_ds.batch(jnp.arange(len(self.val_ds)))
@@ -504,10 +508,10 @@ class Trainer:
                 )
             y = np.asarray(full["ids"]).astype(int)
             self._fold_summary(
-                out, "acc_ids_log", em.log_class_rand_cv(z_val, y, window, 5)
+                out, "acc_ids_log", em.log_class_rand_cv(z_val, y, class_window, 5)
             )
             self._fold_summary(
-                out, "acc_ids_qda", em.qda_rand_cv(z_val, y, window, 5)
+                out, "acc_ids_qda", em.qda_rand_cv(z_val, y, class_window, 5)
             )
         return out
 

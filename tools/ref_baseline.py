@@ -94,6 +94,28 @@ LADDER = {
             "ids_qda": 0.1,
         },
     ),
+    # linear null-space projection + gradient-reversal ensemble (the two
+    # trainable scrubber heads that live in the main parameter tree); used
+    # by the gradient-level parity tests (tests/test_gradient_parity.py).
+    # NOTE: once "linear" is present the reference loss loop resolves
+    # z_null for EVERY disentangle key of EVERY method (losses.py:231-233),
+    # so linear must cover all conditional keys or the reference crashes.
+    6: dict(
+        methods={
+            "conditional": ["avg_speed_3d", "heading"],
+            "linear": ["avg_speed_3d", "heading"],
+            "grad_reversal": ["avg_speed_3d"],
+        },
+        loss={
+            "rotation": 1.0,
+            "prior": 0.001,
+            "root": 0.01,
+            "jpe": 1.0,
+            "avg_speed_3d_lin": 1.0,
+            "heading_lin": 1.0,
+            "avg_speed_3d_gr": 1.0,
+        },
+    ),
 }
 
 MODEL_CFG = dict(
@@ -252,6 +274,11 @@ def build_ref_model(ref, torch, cfg_id: int, discrete_classes, tree, seed: int):
 
     torch.manual_seed(seed)
     disentangle = {}
+    if "linear" in methods:
+        disentangle["linear"] = {
+            k: ref.dis.LinearProjection(z, fdims[k], bias=False)
+            for k in methods["linear"]
+        }
     if "moving_avg_lsq" in methods:
         disentangle["moving_avg_lsq"] = {
             k: ref.dis.MovingAvgLeastSquares(
