@@ -45,8 +45,17 @@ def write_key_h5(path: str | Path, key: str, value: np.ndarray) -> None:
 def save_split(path: str | Path, data: Dict[str, np.ndarray], direction_process: str):
     """Persist a preprocessed split in the reference's per-key file layout
     (get/data.py:33-44): windowed pose-representation keys carry the
-    direction_process suffix."""
-    plain = {"ids", "heading", "avg_speed_3d", "offsets", "raw_pose"}
+    direction_process suffix. ``fluorescence`` is squeezed to 1-D at rest -
+    the reference keeps it ``(N,)`` (get/data.py:89); internally this
+    framework carries it ``(N, 1)`` (PARITY.md documented deviations)."""
+    plain = {
+        "ids", "heading", "avg_speed_3d", "offsets", "raw_pose",
+        # metadata-derived columns have no direction_process variant
+        "pd_label", "fluorescence",
+    }
     for key, value in data.items():
+        value = np.asarray(value)
+        if key == "fluorescence" and value.ndim == 2 and value.shape[1] == 1:
+            value = value[:, 0]
         name = f"{key}.h5" if key in plain else f"{key}_{direction_process}.h5"
-        write_key_h5(Path(path) / name, key, np.asarray(value))
+        write_key_h5(Path(path) / name, key, value)

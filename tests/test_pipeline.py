@@ -387,3 +387,28 @@ class TestEncoderView:
         enc_perturbed = dict(data)
         enc_perturbed["x6d_enc"] = data["x6d_enc"] + 0.1
         assert np.abs(mu(enc_perturbed) - base).max() > 1e-4
+
+
+class TestSaveSplitLayout:
+    def test_fluorescence_squeezed_and_plain_named(self, tmp_path):
+        """The per-key h5 layout stores fluorescence 1-D (reference
+        get/data.py:89 keeps (N,)) under a direction-process-free name,
+        even though this framework carries it (N, 1) internally."""
+        import h5py
+
+        from scrubvae_tpu.data.pose_io import save_split
+
+        data = {
+            "fluorescence": np.linspace(0, 1, 6, dtype=np.float32)[:, None],
+            "pd_label": np.zeros((6, 1), np.int64),
+            "heading": np.zeros((6, 2), np.float32),
+            "x6d": np.zeros((6, 21, 18, 6), np.float32),
+        }
+        save_split(tmp_path, data, "midfwd")
+        assert (tmp_path / "fluorescence.h5").exists()
+        assert (tmp_path / "pd_label.h5").exists()
+        assert (tmp_path / "x6d_midfwd.h5").exists()
+        with h5py.File(tmp_path / "fluorescence.h5") as hf:
+            arr = np.asarray(hf["fluorescence"])
+        assert arr.shape == (6,)
+        np.testing.assert_allclose(arr, data["fluorescence"][:, 0])
