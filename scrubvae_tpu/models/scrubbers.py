@@ -29,6 +29,8 @@ import numpy as np
 import optax
 from jax import Array
 
+from scrubvae_tpu.ops.smallsolve import spd_slogdet, spd_solve
+
 __all__ = [
     "grad_reverse",
     "MLP",
@@ -141,7 +143,9 @@ class LinearProjection(nn.Module):
         )
         v = z @ w.T
         nrm = w @ w.T
-        z_null = z - jnp.linalg.solve(nrm, v.T).T @ w
+        # (out_dim, out_dim) SPD system: unrolled solve (a jnp.linalg.solve
+        # here is a sequential LU while-loop costing ~2 ms/step on TPU)
+        z_null = z - spd_solve(nrm, v.T).T @ w
         return {"v": v, "z_null": z_null}
 
 
@@ -256,8 +260,8 @@ def mals_forward(state: MALSState, x: Array):
     ar = jnp.arange(x.shape[1])
     A0 = state.Sxx0.at[ar, ar].add(l2)
     A1 = state.Sxx1.at[ar, ar].add(l2)
-    W0 = jnp.linalg.solve(A0, state.Sxy0)
-    W1 = jnp.linalg.solve(A1, state.Sxy1)
+    W0 = spd_solve(A0, state.Sxy0)
+    W1 = spd_solve(A1, state.Sxy1)
     return x @ W0, x @ W1
 
 
@@ -469,9 +473,9 @@ def _cgll(x: Array, m: Array, S: Array) -> Array:
     """Gaussian log-likelihood up to constants (disentangle.py:129-134),
     vectorized over classes: x (B,D), m (C,D), S (C,D,D) -> (C,B)."""
     diff = x[None, :, :] - m[:, None, :]  # (C, B, D)
-    sol = jnp.linalg.solve(S, jnp.swapaxes(diff, -1, -2))  # (C, D, B)
+    sol = spd_solve(S, jnp.swapaxes(diff, -1, -2))  # (C, D, B)
     resids = jnp.einsum("cbd,cdb->cb", diff, sol)
-    logdet = jnp.linalg.slogdet(S)[1]
+    logdet = spd_slogdet(S)
     return -0.5 * (logdet[:, None] + resids)
 
 
