@@ -3,14 +3,17 @@
 ``jnp.linalg.solve`` lowers to a column-sequential LU ``while`` loop on TPU;
 for the scrubbers' tiny systems (LinearProjection's (3,3) Gram matrix,
 MALS' (n,n) normal equations with n <= ~15, QDA's per-class (D,D)
-covariances) each solve costs ~2 ms of serialized loop overhead per step -
-the measured flagship ablation (tools/attr_bench.py r3) attributed ~2/3 of
-the fused train step to exactly three such solves. Every matrix at these
-call sites is symmetric positive definite by construction (w @ w.T of a
-full-rank decoder; EMA normal equations seeded from the identity; streaming
-covariances seeded from the identity), so unpivoted Gauss-Jordan elimination
-is numerically equivalent to a Cholesky solve and unrolls at trace time
-into ~n fused rank-1 VPU updates with zero loop overhead.
+covariances) that is pure serialized loop overhead. (A per-step-dispatch
+ablation had briefly attributed ~2/3 of the fused step to these solves;
+the scanned-mode re-measurement showed that was tunnel dispatch noise and
+the true scanned-step cost of the scrubbers is below measurement noise —
+artifacts/profile/README.md §2-3. The unroll is kept: it removes every
+solve ``while`` loop from the compiled step for free.) Every matrix at
+these call sites is symmetric positive definite by construction (w @ w.T
+of a full-rank decoder; EMA normal equations seeded from the identity;
+streaming covariances seeded from the identity), so unpivoted Gauss-Jordan
+elimination is numerically equivalent to a Cholesky solve and unrolls at
+trace time into ~n fused rank-1 VPU updates with zero loop overhead.
 
 These helpers replace ``jnp.linalg.solve`` / ``slogdet`` ONLY for static
 n <= SMALL_N_MAX; larger systems fall back to lax.linalg (the unroll would
@@ -41,6 +44,8 @@ def _gauss_jordan(A: Array, B: Array):
     positive); each of the n trace-time iterations is one rank-1 update
     over the batched augmented system.
     """
+    A = jnp.asarray(A)  # callers may pass numpy (host-side scrubber use)
+    B = jnp.asarray(B)
     n = A.shape[-1]
     logdet = jnp.zeros(A.shape[:-2], dtype=A.dtype)
     for k in range(n):

@@ -529,6 +529,21 @@ class TestSmallSolve:
         ref = np.linalg.solve(A, b[..., None])[..., 0]
         np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
+    def test_numpy_inputs(self):
+        # host-side scrubber callers (e.g. torch-import head rebuilds) pass
+        # raw numpy; the unroll must coerce rather than require .at
+        from scrubvae_tpu.ops.smallsolve import spd_slogdet, spd_solve
+
+        rng = np.random.default_rng(7)
+        A = self._spd(rng, (3,), 5).astype(np.float32)
+        B = rng.normal(size=(3, 5, 2)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(spd_solve(A, B)), np.linalg.solve(A, B), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(spd_slogdet(A)), np.linalg.slogdet(A)[1], rtol=1e-4, atol=1e-4
+        )
+
     def test_slogdet_matches_lapack(self):
         from scrubvae_tpu.ops.smallsolve import spd_slogdet
 
