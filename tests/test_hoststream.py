@@ -161,6 +161,8 @@ def _trainer(tmp_path, ds):
 
 
 class TestHostStreamTraining:
+    @pytest.mark.slow  # ~6.5 min of XLA:CPU compile on the 1-core host; the
+    # default tier keeps the bit-identity claim via TestSlabEquivalence (~3 s)
     def test_epoch_matches_device_resident(
         self, stream_ds, host_ds, tmp_path
     ):
