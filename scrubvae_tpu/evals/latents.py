@@ -16,12 +16,18 @@ __all__ = ["latents", "encode_dataset"]
 
 
 def encode_dataset(model, variables, dataset, batch_size: int = 512) -> np.ndarray:
-    """Jitted batched encoding of every sample's mu."""
+    """Jitted batched encoding of every sample's mu.
+
+    Uses the encoders' ``mu_only`` fast path (the Cholesky head - 25% of
+    encoder FLOPs at the flagship point - never runs; eval-mode z is mu,
+    reference get/eval.py:62-66)."""
 
     @jax.jit
     def enc(idx):
         data = dataset.batch(idx)
-        out = model.apply(variables, data, train=False, method=model.encode)
+        out = model.apply(
+            variables, data, train=False, method=model.encode, mu_only=True
+        )
         return out["mu"]
 
     n = len(dataset)

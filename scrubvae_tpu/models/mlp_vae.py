@@ -62,7 +62,7 @@ class MLPVAE(nn.Module):
         out.update(self.decode(z, data, train=train))
         return out
 
-    def encode(self, data, train: bool = True):
+    def encode(self, data, train: bool = True, mu_only: bool = False):
         x6d = data["x6d"]
         B, W = x6d.shape[0], x6d.shape[1]
         flat = x6d.reshape(B, W, -1)
@@ -75,6 +75,8 @@ class MLPVAE(nn.Module):
         for layer in self.enc_layers:
             h = nn.relu(layer(h))
         mu = self.fc_mu(h)
+        if mu_only:
+            return {"mu": mu}
         L = self.cholesky(self.fc_sigma(h))
         return {"mu": mu, "L": L}
 

@@ -71,7 +71,9 @@ class ResidualEncoder(nn.Module):
         return [self.init_dilation * 2**i for i in range(n)]
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
+    def __call__(
+        self, x: Array, train: bool = True, mu_only: bool = False
+    ) -> Tuple[Array, Optional[Array]]:
         dil = self.dilations()
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -88,6 +90,11 @@ class ResidualEncoder(nn.Module):
         # KL, sampler, and scrubbers, which stay in full precision.
         if self.prior == "gaussian":
             mu = nn.Dense(self.z_dim, name="fc_mu", dtype=self.dtype)(h)
+            # Latent-extraction fast path: fc_sigma is ~75% of flagship
+            # params and 25% of encoder FLOPs, and eval-mode z is just mu
+            # (reference get/eval.py:8-70 reads only mu) - skip the head.
+            if mu_only:
+                return mu.astype(jnp.float32), None
             sig_dim = (
                 self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
             )
@@ -217,7 +224,12 @@ class ResVAE(nn.Module):
     def _arena(self, dtype):
         return jnp.asarray(self.arena_size, dtype=dtype)
 
-    def encode(self, data: Dict[str, Array], train: bool = True) -> Dict[str, Array]:
+    def encode(
+        self,
+        data: Dict[str, Array],
+        train: bool = True,
+        mu_only: bool = False,
+    ) -> Dict[str, Array]:
         # Structural factor exclusion: when the batch carries a separate
         # encoder view ("x6d_enc"/"root_enc" — midfwd-aligned while the
         # recon target stays absolute; data/pipeline.py assemble_windows),
@@ -232,9 +244,13 @@ class ResVAE(nn.Module):
             x_in = jnp.concatenate([flat, norm_root], axis=-1)
         else:
             x_in = flat
-        a, b = self.encoder(x_in, train=train)
+        a, b = self.encoder(
+            x_in, train=train, mu_only=mu_only and self.prior == "gaussian"
+        )
         out: Dict[str, Array] = {}
         if self.prior == "gaussian":
+            if b is None:
+                return {"mu": a}
             out["mu"], out["Lp" if self.packed_sigma else "L"] = a, b
         else:
             out["alpha"], out["beta"] = a, b

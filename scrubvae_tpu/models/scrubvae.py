@@ -37,8 +37,10 @@ class ScrubVAE(nn.Module):
             k: GRScrubber(d, alpha=self.gr_alpha, name=f"gr_{k}") for k, d in gr.items()
         }
 
-    def encode(self, data: Dict[str, Array], train: bool = True):
-        return self.vae.encode(data, train=train)
+    def encode(
+        self, data: Dict[str, Array], train: bool = True, mu_only: bool = False
+    ):
+        return self.vae.encode(data, train=train, mu_only=mu_only)
 
     def decode(self, z: Array, data: Dict[str, Array], train: bool = True):
         return self.vae.decode(z, data, train=train)

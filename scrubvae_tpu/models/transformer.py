@@ -108,7 +108,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True):
+    def __call__(self, x: Array, train: bool = True, mu_only: bool = False):
         # x: (B, W, C_in)
         h = nn.Dense(self.z_dim, name="pose_embedding")(x)
         pe = jnp.asarray(sinusoidal_positions(self.window, self.z_dim))
@@ -120,6 +120,8 @@ class TransformerEncoder(nn.Module):
             )
         flat = h.reshape(h.shape[0], -1)
         mu = nn.Dense(self.z_dim, name="fc_mu")(flat)
+        if mu_only:
+            return mu, None
         sig_dim = self.z_dim if self.is_diag else self.z_dim * (self.z_dim + 1) // 2
         L = CholeskyL(self.z_dim, self.is_diag)(nn.Dense(sig_dim, name="fc_sigma")(flat))
         return mu, L
@@ -207,8 +209,12 @@ class TransformerVAE(nn.Module):
             return jnp.concatenate([flat, norm_root], axis=-1)
         return flat
 
-    def encode(self, data, train: bool = True):
-        mu, L = self.encoder(self._flatten_input(data), train=train)
+    def encode(self, data, train: bool = True, mu_only: bool = False):
+        mu, L = self.encoder(
+            self._flatten_input(data), train=train, mu_only=mu_only
+        )
+        if L is None:
+            return {"mu": mu}
         return {"mu": mu, "L": L}
 
     def build_conditionals(self, data):

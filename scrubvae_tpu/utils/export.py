@@ -35,18 +35,31 @@ def export_encoder(
     example_batch: Dict[str, jnp.ndarray],
     path: Optional[str | Path] = None,
     platforms=("cpu", "tpu"),
+    mu_only: bool = False,
 ) -> bytes:
     """Serialize ``model.encode`` with a symbolic (polymorphic) batch dim.
 
     ``example_batch`` needs the encoder inputs only (x6d/root, or the
     x6d_enc/root_enc view when the model was trained with one).
+
+    ``mu_only=True`` exports a latent-extraction variant returning only
+    ``{"mu"}`` via the encoders' native ``mu_only`` flag: the Cholesky head
+    (fc_sigma, ~75% of flagship parameters) is never applied, so its weights
+    are not embedded in the artifact (~4x smaller) and its matmul drops from
+    the program. The mu it returns is the full encoder's mu (eval-mode
+    encode already uses z = mu; reference analog: latent extraction reads
+    only mu, /root/reference/src/scrubvae/get/eval.py:8-70). Beta-prior
+    models need both heads for mu and fall back to the full export.
     """
     keys = [
         k for k in ("x6d", "root", "x6d_enc", "root_enc") if k in example_batch
     ]
 
     def encode(data):
-        return model.apply(variables, data, train=False, method=model.encode)
+        out = model.apply(
+            variables, data, train=False, method=model.encode, mu_only=mu_only
+        )
+        return {"mu": out["mu"]} if mu_only else out
 
     (B,) = jexport.symbolic_shape("B")
     args = {k: _sym_batch(example_batch[k].shape, B) for k in keys}

@@ -528,3 +528,36 @@ class TestServingExport:
         np.testing.assert_allclose(
             np.asarray(got["x6d"]), np.asarray(ref["x6d"]), atol=1e-5
         )
+
+    def test_mu_only_encoder_dces_sigma_head(self):
+        """The latent-extraction export (mu_only=True) must return the same
+        mu (up to fusion-order rounding) AND actually drop the Cholesky head
+        from the artifact (jax lowering DCE) - checked by blob size, since
+        fc_sigma dominates the embedded constants."""
+        from scrubvae_tpu.utils.export import export_encoder, load_exported
+
+        model = ResVAE(
+            in_channels=18 * 6 + 3, ch=(8, 8, 16, 16, 32), z_dim=32,
+            window=31, arena_size=ARENA,
+        )
+        data = dummy_batch(W=31)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, data, rng=rng, train=False)
+
+        full_blob = export_encoder(model, variables, data)
+        mu_blob = export_encoder(model, variables, data, mu_only=True)
+        # fc_sigma maps flatten -> z(z+1)/2 = 528; fc_mu maps flatten -> 32.
+        # With the head DCE'd the artifact loses its largest constant.
+        assert len(mu_blob) < 0.6 * len(full_blob), (
+            len(mu_blob), len(full_blob),
+        )
+
+        enc_mu = load_exported(mu_blob)
+        d = {k: jnp.tile(data[k][:1], (3,) + (1,) * (data[k].ndim - 1))
+             for k in ("x6d", "root")}
+        got = enc_mu.call(d)
+        assert set(got.keys()) == {"mu"}
+        ref = model.apply(variables, d, train=False, method=model.encode)
+        np.testing.assert_allclose(
+            np.asarray(got["mu"]), np.asarray(ref["mu"]), atol=1e-6
+        )

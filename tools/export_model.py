@@ -54,6 +54,9 @@ def main():
     out_dir = pathlib.Path(args.out or run / "export")
     out_dir.mkdir(parents=True, exist_ok=True)
     export_encoder(model, variables, batch, out_dir / "encoder.shlo")
+    export_encoder(
+        model, variables, batch, out_dir / "encoder_mu.shlo", mu_only=True
+    )
     cond = tuple(info.get("conditional_keys") or ())
     export_decoder(
         model, variables, batch, info["z_dim"], cond, out_dir / "decoder.shlo"

@@ -56,6 +56,11 @@ def main():
         out_dir = pathlib.Path(args.run) / "export"
         meta = json.loads((out_dir / "meta.json").read_text())
         enc = load_exported(out_dir / "encoder.shlo")
+        enc_mu = (
+            load_exported(out_dir / "encoder_mu.shlo")
+            if (out_dir / "encoder_mu.shlo").exists()
+            else None
+        )
         dec = load_exported(out_dir / "decoder.shlo")
         enc_keys = meta["encoder_inputs"]
         cond_keys = meta["decoder_conditionals"]
@@ -99,6 +104,9 @@ def main():
             {"params": jax.random.PRNGKey(0)}, data0, train=False
         )
         enc = load_exported(export_encoder(model, variables, data0))
+        enc_mu = load_exported(
+            export_encoder(model, variables, data0, mu_only=True)
+        )
         dec = load_exported(
             export_decoder(model, variables, data0, z_dim)
         )
@@ -129,6 +137,15 @@ def main():
             "samples_per_sec": round(B / dt, 1),
             "device_kind": kind,
         }))
+
+        if enc_mu is not None:
+            dt = _time_call(lambda d: enc_mu.call(d), (data,), iters=args.iters)
+            print(json.dumps({
+                "artifact": "encoder_mu", "batch": B,
+                "latency_ms": round(dt * 1e3, 3),
+                "samples_per_sec": round(B / dt, 1),
+                "device_kind": kind,
+            }))
 
         z = jnp.asarray(rng.normal(size=(B, z_dim)), jnp.float32)
         cond = {
