@@ -274,6 +274,17 @@ def main():
         bytes_per_step = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops_per_step = bytes_per_step = 0.0
+    # Second, PINNED FLOP convention (VERDICT r3 W6): static 2MNK over the
+    # optimized module's dot/convolution ops. cost_analysis and the static
+    # count differ ~17% at the flagship point (remat/fusion elision); both
+    # are reported under their own names so cross-round MFU deltas never
+    # come from silently switching conventions.
+    try:
+        from scrubvae_tpu.utils.hlo_flops import static_mxu_flops
+
+        static_flops_per_step = float(static_mxu_flops(compiled.as_text()))
+    except Exception:
+        static_flops_per_step = 0.0
 
     state, metrics = compiled(state, idx_matrix(args.steps), loss_scale)
     jax.block_until_ready(metrics)
@@ -334,7 +345,18 @@ def main():
         # under its own name rather than dressed up as measured bandwidth.
         out["bytes_accessed_gb_per_s"] = round(bytes_per_step / step_s / 1e9, 1)
         if peak_flops:
+            # Both FLOP conventions, pinned by name (see the lowering block
+            # above): "mfu" stays = mfu_cost_analysis for cross-round
+            # comparability with BENCH_r01..r03.
             out["mfu"] = round(flops_per_step / step_s / peak_flops, 4)
+            out["mfu_cost_analysis"] = out["mfu"]
+            if static_flops_per_step:
+                out["mfu_static_hlo"] = round(
+                    static_flops_per_step / step_s / peak_flops, 4
+                )
+                out["static_hlo_gflops_per_step"] = round(
+                    static_flops_per_step / 1e9, 1
+                )
             out["peak_tflops"] = peak_flops / 1e12
             out["peak_hbm_gb_per_s"] = peak_bw / 1e9
     print(json.dumps(out))

@@ -100,7 +100,9 @@ def rand_cv(func):
         kf = KFold(n_splits=folds, shuffle=True, random_state=100)
         for fold_i, (train_i, test_i) in enumerate(kf.split(dz)):
             try:
-                met.append(func(dz[train_i], dy[train_i], dz[test_i], dy[test_i]))
+                met.append(
+                    func(dz[train_i], dy[train_i], dz[test_i], dy[test_i], **kwargs)
+                )
             except ValueError as e:
                 # degenerate fold (e.g. a class with <2 samples in a smoke
                 # run) - report nan for the fold instead of aborting the
@@ -129,12 +131,29 @@ def linear_rand_cv(z_train, y_train, z_test, y_test):
 
 
 @rand_cv
-def log_class_rand_cv(z_train, y_train, z_test, y_test):
+def log_class_rand_cv(z_train, y_train, z_test, y_test, multi_class="ovr"):
+    """Elasticnet logistic decodability (reference eval/metrics.py:271-284).
+
+    The reference forces ``LogisticRegression(multi_class="ovr")``; sklearn
+    ≥1.7 removed the kwarg, so for ≥3-class targets the same one-vs-rest
+    formulation is reproduced explicitly with ``OneVsRestClassifier`` (which
+    is exactly what the removed kwarg dispatched to). Binary targets take
+    the plain estimator — the two formulations coincide there.
+    ``multi_class="multinomial"`` opts into the modern softmax probe
+    instead (the round-2/3 behavior; see PARITY.md "Documented
+    deviations" for the measured gap)."""
     from sklearn.linear_model import LogisticRegression
 
-    clf = LogisticRegression(
+    y_train = y_train.ravel()
+    base = LogisticRegression(
         l1_ratio=0.5, penalty="elasticnet", solver="saga", max_iter=300
-    ).fit(z_train, y_train.ravel())
+    )
+    if multi_class == "ovr" and len(np.unique(y_train)) > 2:
+        from sklearn.multiclass import OneVsRestClassifier
+
+        clf = OneVsRestClassifier(base).fit(z_train, y_train)
+    else:
+        clf = base.fit(z_train, y_train)
     return (y_test.ravel() == clf.predict(z_test)).mean()
 
 

@@ -51,9 +51,9 @@ class MLPVAE(nn.Module):
         ]
         self.dec_out = nn.Dense(self.window * self.in_channels, name="dec_out")
 
-    def __call__(self, data, rng=None, train: bool = True):
-        out = self.encode(data, train=train)
-        if train and rng is not None:
+    def __call__(self, data, rng=None, train: bool = True, mu_only: bool = False):
+        out = self.encode(data, train=train, mu_only=mu_only)
+        if train and rng is not None and not mu_only:
             eps = jax.random.normal(rng, out["mu"].shape, dtype=out["mu"].dtype)
             z = out["mu"] + jnp.einsum("bij,bj->bi", out["L"], eps)
         else:

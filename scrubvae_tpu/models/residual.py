@@ -307,10 +307,14 @@ class ResVAE(nn.Module):
         data: Dict[str, Array],
         rng: Optional[Array] = None,
         train: bool = True,
+        mu_only: bool = False,
     ) -> Dict[str, Array]:
-        out = self.encode(data, train=train)
+        # mu_only: eval-time fast path — skip the Cholesky head entirely
+        # (z is mu in eval anyway). Only valid when nothing downstream
+        # consumes L (the eval step decides statically from its loss keys).
+        out = self.encode(data, train=train, mu_only=mu_only)
         if self.prior == "gaussian":
-            if train and rng is not None:
+            if train and rng is not None and not mu_only:
                 z = self.sample_z(
                     out["mu"], out["Lp" if self.packed_sigma else "L"], rng
                 )

@@ -55,8 +55,9 @@ class ScrubVAE(nn.Module):
         data: Dict[str, Array],
         rng: Optional[Array] = None,
         train: bool = True,
+        mu_only: bool = False,
     ) -> Dict[str, Array]:
-        out = self.vae(data, rng=rng, train=train)
+        out = self.vae(data, rng=rng, train=train, mu_only=mu_only)
         dis: Dict[str, Dict] = {}
         if self.linear:
             dis["linear"] = {k: m(out["mu"]) for k, m in self.linear.items()}

@@ -250,9 +250,15 @@ class TransformerVAE(nn.Module):
         out["x6d"] = x6d.reshape(B, self.window, -1, 6)
         return out
 
-    def __call__(self, data, rng: Optional[Array] = None, train: bool = True):
-        out = self.encode(data, train=train)
-        if train and rng is not None:
+    def __call__(
+        self,
+        data,
+        rng: Optional[Array] = None,
+        train: bool = True,
+        mu_only: bool = False,
+    ):
+        out = self.encode(data, train=train, mu_only=mu_only)
+        if train and rng is not None and not mu_only:
             eps = jax.random.normal(rng, out["mu"].shape, dtype=out["mu"].dtype)
             z = out["mu"] + jnp.einsum("bij,bj->bi", out["L"], eps)
         else:

@@ -69,6 +69,8 @@ PARAM_KEYS = dict(
         "seed",
         "donate",  # donate state buffers in the jitted step
         "moment_dtype",  # "bf16" (default) | "f32" Adam first moment
+        "param_dtype",  # "bf16" storage for large kernels (SR stores)
+        "fused_optimizer",  # Pallas fused AdamW (default on)
         "clip_norm",  # grad-clip max norm; 0 disables; None = 1e6 parity
         "scan_epoch",  # device-resident batch loop (default on)
         "eval_start_epoch",  # first epoch for val metrics (reference: 50)

@@ -250,12 +250,18 @@ def make_eval_step(
     """Jitted evaluation step: forward with z = mu, losses without any state
     mutation. Returns (metrics, mu)."""
 
+    # Eval-time mu-only fast path (VERDICT r3 #6): z is mu in eval, so the
+    # Cholesky head (25% of flagship encoder FLOPs) only needs to run when
+    # an eval loss actually consumes L. Static decision — part of the
+    # compiled program, not a runtime branch.
+    mu_only = not any(k in loss_keys for k in ("prior", "total_correlation"))
+
     def step(state: TrainState, batch, loss_scale):
         data = batch_fn(batch) if batch_fn is not None else batch
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        out = model.apply(variables, data, rng=None, train=False)
+        out = model.apply(variables, data, rng=None, train=False, mu_only=mu_only)
         bl, _ = compute_batch_loss(
             model,
             data,
@@ -308,6 +314,8 @@ def make_eval_epoch(
     feat_slices = eval_kwargs.get("feat_slices")
     adv_bundle = eval_kwargs.get("adv_bundle")
     static_loss_scale = eval_kwargs.get("static_loss_scale")
+    # same static mu-only decision as make_eval_step (VERDICT r3 #6)
+    mu_only = not any(k in loss_keys for k in ("prior", "total_correlation"))
     del loss_keys
 
     def epoch(state: TrainState, idx_matrix, loss_scale, rng):
@@ -317,7 +325,9 @@ def make_eval_epoch(
 
         def body(carry_rng, idx):
             data = batch_fn(idx)
-            out = model.apply(variables, data, rng=None, train=False)
+            out = model.apply(
+                variables, data, rng=None, train=False, mu_only=mu_only
+            )
             bl, _ = compute_batch_loss(
                 model,
                 data,

@@ -386,6 +386,82 @@ class Trainer:
             )
         return self._eval_epoch_fn
 
+    def _get_eval_mi_fn(self):
+        """Jitted builder of the eval-time MCMI estimator from a strided
+        slice of the val split (reference test_epoch, trainer.py:228-252:
+        ``loader.dataset[::int(len/batch_size)]`` encoded under the current
+        params, y_s = concat of the conditional features)."""
+        if getattr(self, "_eval_mi_fn", None) is None:
+            batch_fn = self._batch_fn(self.val_ds)
+            bandwidth = float(self.dis_cfg.get("bandwidth") or 1.0)
+            var_mode = self.dis_cfg.get("var_mode") or "sphere"
+            model = self.model
+
+            def build(params, batch_stats, idx):
+                from scrubvae_tpu.models.layers import packed_diag
+
+                data = batch_fn(idx)
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                enc = model.apply(
+                    variables, data, train=False, method=model.encode
+                )
+                var = model.bind(variables).vae.build_conditionals(data)
+                mu = jax.lax.stop_gradient(enc["mu"])
+                return scr.mi_init(
+                    mu,
+                    var,
+                    bandwidth=bandwidth,
+                    var_mode=var_mode,
+                    model_L=(
+                        jax.lax.stop_gradient(enc["L"]) if "L" in enc else None
+                    ),
+                    model_diag=(
+                        jax.lax.stop_gradient(
+                            packed_diag(enc["Lp"], mu.shape[1])
+                        )
+                        if "Lp" in enc
+                        else None
+                    ),
+                    valid=1.0,
+                )
+
+            self._eval_mi_fn = jax.jit(build)
+        return self._eval_mi_fn
+
+    def _refresh_eval_mi(self):
+        """Rebuild ``mi_state`` from the strided val slice and write it back
+        into the carried train state — the reference replaces
+        ``model.mi_estimator`` in place, so the next train epoch's first
+        batch also consumes the val-built estimator (trainer.py:228-252).
+
+        Shape discipline (documented deviation, PARITY.md): the KDE sample
+        buffer must keep the static ``(batch_size, ...)`` shape — it rides
+        the lax.scan carry of the scanned train epoch — so exactly
+        ``batch_size`` strided samples are taken (``(arange(B) * stride) %
+        n``: the first B elements of the reference's ``ceil(n/stride)``-
+        sample slice, wrapping only when ``len(val) < batch_size``)."""
+        n = len(self.val_ds)
+        stride = max(n // self.batch_size, 1)
+        idx = (np.arange(self.batch_size) * stride) % n
+        mi = self._get_eval_mi_fn()(
+            self.state.params,
+            self.state.batch_stats,
+            self._device_idx(jnp.asarray(idx, dtype=jnp.int32)),
+        )
+        if self.mesh is not None and self.state.mi_state is not None:
+            # keep the carried estimator's exact layout: a differently-
+            # sharded mi_state would silently recompile the train epoch
+            mi = jax.tree.map(
+                lambda new, old: jax.device_put(new, old.sharding)
+                if hasattr(old, "sharding")
+                else new,
+                mi,
+                self.state.mi_state,
+            )
+        self.state = self.state.replace(mi_state=mi)
+
     def test_epoch(self, epoch: int):
         """Validation epoch over the FULL val split.
 
@@ -394,9 +470,15 @@ class Trainer:
         (the scanned path runs the tail through the per-step eval), with
         per-sample weighting of the batch means. No index wraparound, so the
         scanned and per-step metrics agree exactly on any split size.
+
+        With MCMI active, the estimator is rebuilt from a strided val slice
+        before the loop and carried back into the train state, both per the
+        reference (trainer.py:228-252).
         """
         from scrubvae_tpu.evals.restrictiveness import generative_restrictiveness_batch
 
+        if self.use_mcmi:
+            self._refresh_eval_mi()
         loss_scale = self.loss_scale_for_epoch(epoch)
         rng = jax.random.PRNGKey(1000 + epoch)
         n = len(self.val_ds)

@@ -49,7 +49,9 @@ def export_encoder(
     the program. The mu it returns is the full encoder's mu (eval-mode
     encode already uses z = mu; reference analog: latent extraction reads
     only mu, /root/reference/src/scrubvae/get/eval.py:8-70). Beta-prior
-    models need both heads for mu and fall back to the full export.
+    models compute mu FROM the alpha/beta heads, so for them ``mu_only``
+    only restricts the artifact's outputs to ``{"mu"}`` — both heads stay
+    embedded and there is no size win (ADVICE r3).
     """
     keys = [
         k for k in ("x6d", "root", "x6d_enc", "root_enc") if k in example_batch

@@ -119,12 +119,13 @@ class TestRandCVParity:
         np.testing.assert_allclose(ours, theirs, atol=0.02)
 
     def test_log_class_multiclass(self, ref):
-        """Multiclass (4-way) logistic decodability — the regime where the
-        reference's forced multi_class="ovr" and our modern multinomial
-        default could genuinely diverge (ADVICE r2). Where the installed
-        sklearn still accepts the reference's signature this asserts parity;
-        otherwise the OVR-vs-multinomial gap stays a documented deviation
-        (PARITY.md) and we at least pin our own multiclass behavior."""
+        """Multiclass (4-way) logistic decodability. The reference forces
+        ``multi_class="ovr"`` (eval/metrics.py:274); since round 4 the
+        default here reproduces that formulation explicitly via
+        ``OneVsRestClassifier`` (VERDICT r3 #8) — asserted fold-for-fold
+        against a hand-built OVR baseline, and against the reference itself
+        wherever the installed sklearn still accepts its signature.
+        ``multi_class="multinomial"`` remains the opt-in modern probe."""
         rng = np.random.default_rng(7)
         n, d, k = 800, 8, 4
         centers = rng.normal(size=(k, d)) * 2.0
@@ -136,14 +137,54 @@ class TestRandCVParity:
         # well-separated clusters: the probe must decode well regardless of
         # the multinomial-vs-OVR formulation
         assert np.mean(ours) > 0.9
+
+        # fold-for-fold equality with an explicit one-vs-rest baseline
+        # (what the removed multi_class="ovr" kwarg dispatched to)
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.model_selection import KFold
+        from sklearn.multiclass import OneVsRestClassifier
+
+        dz, dy = z[::5], y[::5].ravel()
+        kf = KFold(n_splits=5, shuffle=True, random_state=100)
+        expected = []
+        for train_i, test_i in kf.split(dz):
+            clf = OneVsRestClassifier(
+                LogisticRegression(
+                    l1_ratio=0.5, penalty="elasticnet", solver="saga",
+                    max_iter=300,
+                )
+            ).fit(dz[train_i], dy[train_i])
+            expected.append((dy[test_i] == clf.predict(dz[test_i])).mean())
+        np.testing.assert_allclose(ours, expected, rtol=1e-12)
+
+        # the opt-in multinomial probe is a genuinely different fit
+        ours_mn = our_metrics.log_class_rand_cv(
+            z, y, 5, 5, multi_class="multinomial"
+        )
+        assert np.mean(ours_mn) > 0.9
+
+    def test_log_class_multiclass_vs_reference(self, ref):
+        """Direct reference comparison of the 4-way probe — only
+        constructible while the installed sklearn accepts the reference's
+        multi_class= signature (the OneVsRest-baseline equality above runs
+        unconditionally)."""
+        rng = np.random.default_rng(7)
+        n, d, k = 800, 8, 4
+        centers = rng.normal(size=(k, d)) * 2.0
+        y = np.repeat(np.arange(k), n // k)
+        rng.shuffle(y)
+        z = centers[y] + rng.normal(size=(n, d))
+        y = y.astype(np.int64)[:, None]
         try:
             theirs = ref.met.log_class_rand_cv(z, y, 5, 5)
         except TypeError:
             pytest.skip(
                 "installed sklearn removed LogisticRegression(multi_class=)"
-                " — OVR-vs-multinomial multiclass gap is a documented"
-                " deviation (PARITY.md)"
+                " — reference signature not constructible; OVR parity"
+                " asserted against the explicit OneVsRest baseline in"
+                " test_log_class_multiclass"
             )
+        ours = our_metrics.log_class_rand_cv(z, y, 5, 5)
         np.testing.assert_allclose(ours, theirs, atol=0.03)
 
     def test_parkinsons_fold_convention(self, ref):

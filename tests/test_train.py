@@ -384,6 +384,169 @@ class TestScanEvalEquivalence:
                 np.testing.assert_allclose(ma[k], mb[k], rtol=2e-4, err_msg=k)
 
 
+class TestEvalMuOnlyFastPath:
+    """VERDICT r3 #6: eval-time Cholesky-head elision. When no eval loss
+    consumes L (no prior / total_correlation in the loss config) the eval
+    step routes through the encoders' mu_only path BY CONSTRUCTION (the
+    head is never traced, not merely DCE'd by XLA after the fact — measured
+    finding, artifacts/profile/eval_mu_r4: XLA's dead-code elimination
+    already strips an unconsumed head, so the flag pins the guarantee at
+    the trace level). Against an L-consuming (prior-bearing) program the
+    head is structurally required — that case must keep the full encode."""
+
+    def _trainer(self, dataset, tmp_path, with_prior):
+        cfg = base_config(tmp_path)
+        if not with_prior:
+            del cfg["loss"]["prior"]
+        model, info = factory.build_model(
+            cfg["model"],
+            cfg["disentangle"],
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+        )
+        return Trainer(cfg, {"train": dataset, "val": dataset}, model, info)
+
+    def test_mu_only_engages_and_matches(self, dataset, tmp_path):
+        from scrubvae_tpu.utils.hlo_flops import static_mxu_flops
+
+        tr_fast = self._trainer(dataset, tmp_path / "fast", with_prior=False)
+        tr_full = self._trainer(dataset, tmp_path / "full", with_prior=True)
+        # same seed, loss config does not enter init -> identical params
+        idx = jnp.arange(16)
+        ls_fast = tr_fast.loss_scale_for_epoch(1)
+        ls_full = tr_full.loss_scale_for_epoch(1)
+
+        bl_fast, mu_fast = tr_fast.eval_step(tr_fast.state, idx, ls_fast)
+        bl_full, mu_full = tr_full.eval_step(tr_full.state, idx, ls_full)
+        np.testing.assert_allclose(
+            np.asarray(mu_fast), np.asarray(mu_full), rtol=1e-6, atol=1e-7
+        )
+        for k in bl_fast:
+            if k == "total":
+                continue  # different loss sets -> different totals
+            np.testing.assert_allclose(
+                float(bl_fast[k]), float(bl_full[k]), rtol=1e-6, err_msg=k
+            )
+        # L-consuming program keeps the head and reports the prior metric
+        assert "prior" in bl_full and np.isfinite(float(bl_full["prior"]))
+
+        fast_flops = static_mxu_flops(
+            tr_fast.eval_step.lower(tr_fast.state, idx, ls_fast)
+            .compile().as_text()
+        )
+        full_flops = static_mxu_flops(
+            tr_full.eval_step.lower(tr_full.state, idx, ls_full)
+            .compile().as_text()
+        )
+        assert fast_flops < full_flops, (fast_flops, full_flops)
+
+    def test_mu_only_never_traces_head(self, dataset, tmp_path):
+        """The guarantee is at trace level: the UNOPTIMIZED jaxpr of the
+        L-free eval step has strictly fewer dot_general equations than the
+        prior-bearing one (the head matmul is never traced — XLA DCE is
+        not what we rely on)."""
+        tr_fast = self._trainer(dataset, tmp_path / "f", with_prior=False)
+        tr_full = self._trainer(dataset, tmp_path / "g", with_prior=True)
+
+        def n_dots(tr):
+            jaxpr = jax.make_jaxpr(tr.eval_step.__wrapped__)(
+                tr.state, jnp.arange(16), tr.loss_scale_for_epoch(1)
+            )
+            return str(jaxpr).count("dot_general")
+
+        assert n_dots(tr_fast) < n_dots(tr_full)
+
+
+class TestEvalMCMIRebuild:
+    """VERDICT r3 #2: the reference's test_epoch rebuilds the MI estimator
+    from a strided slice of the VAL split before the loop (reference
+    trainer.py:228-252) and leaves it installed on the model — it must not
+    reuse the train-carried KDE buffers, and the rebuilt estimator must
+    carry into the next train epoch."""
+
+    def _mcmi_trainer(self, dataset, tmp_path):
+        cfg = base_config(tmp_path)
+        cfg["disentangle"]["method"] = {
+            "conditional": ["avg_speed_3d", "heading"]
+        }
+        cfg["disentangle"]["features"] = ["avg_speed_3d", "heading"]
+        cfg["loss"]["mcmi"] = 0.1
+        model, info = factory.build_model(
+            cfg["model"],
+            cfg["disentangle"],
+            n_keypts=18,
+            direction_process="midfwd",
+            arena_size=ARENA,
+            discrete_classes=dataset.discrete_classes,
+        )
+        return Trainer(cfg, {"train": dataset, "val": dataset}, model, info)
+
+    def test_val_slice_estimator_installed_and_carried(self, dataset, tmp_path):
+        tr = self._mcmi_trainer(dataset, tmp_path)
+        tr.train_epoch(1)
+        carried_x = np.asarray(tr.state.mi_state.x_s)
+        assert float(tr.state.mi_state.valid) == 1.0
+
+        metrics, _ = tr.test_epoch(epoch=1)
+        assert "mcmi" in metrics
+
+        # The installed buffers are the strided-val-slice encoding under the
+        # current params (reference trainer.py:230-252), not the
+        # train-carried batch encoding.
+        n = len(dataset)
+        B = tr.batch_size
+        stride = max(n // B, 1)
+        idx = jnp.asarray((np.arange(B) * stride) % n)
+        data = dataset.batch(idx)
+        enc = tr.model.apply(
+            {"params": tr.state.params}, data, train=False,
+            method=tr.model.encode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr.state.mi_state.x_s), np.asarray(enc["mu"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        var = np.concatenate(
+            [np.asarray(data[k]) for k in tr.info["conditional_keys"]], axis=-1
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr.state.mi_state.y_s), var, rtol=1e-6, atol=1e-7
+        )
+        assert not np.allclose(np.asarray(tr.state.mi_state.x_s), carried_x)
+
+        # Carry-over: the next train epoch starts from the val-built
+        # estimator (shape-stable through the scanned epoch's carry) and
+        # still refreshes per step afterwards.
+        tr.train_epoch(2)
+        assert tr.state.mi_state.x_s.shape == (B, tr.info["z_dim"])
+        assert not np.allclose(
+            np.asarray(tr.state.mi_state.x_s), np.asarray(enc["mu"])
+        )
+
+    def test_eval_metrics_use_val_estimator(self, dataset, tmp_path):
+        """The mcmi_test metric must be computed against the val-slice
+        estimator: manually installing a garbage train-carried buffer
+        before test_epoch must NOT change the reported mcmi."""
+        tr = self._mcmi_trainer(dataset, tmp_path)
+        tr.train_epoch(1)
+        m_a, _ = tr.test_epoch(epoch=1)
+
+        import scrubvae_tpu.models.scrubbers as scr
+
+        garbage = scr.mi_init(
+            jnp.full_like(tr.state.mi_state.x_s, 37.0),
+            jnp.full_like(tr.state.mi_state.y_s, -11.0),
+            bandwidth=1.0,
+            var_mode="sphere",
+            valid=1.0,
+        )
+        tr.state = tr.state.replace(mi_state=garbage)
+        m_b, _ = tr.test_epoch(epoch=1)
+        np.testing.assert_allclose(m_a["mcmi"], m_b["mcmi"], rtol=1e-5)
+
+
 class TestLowPrecisionAdam:
     """scale_by_adam_lowp: f32 storage matches optax exactly; bf16 storage
     tracks it closely (the default flagship configuration)."""

@@ -32,7 +32,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import bench  # repo-root bench: build(), peak_specs()
 
 
-def run_point(label, batch, ch, z_dim, steps, warmup_steps=None):
+def run_point(label, batch, ch, z_dim, steps):
     import jax
     import jax.numpy as jnp
     import numpy as np

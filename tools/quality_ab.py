@@ -1,0 +1,210 @@
+"""Long-horizon quality-at-speed A/B (VERDICT r3 #3).
+
+Runs the FLAGSHIP operating point (window 51, ch 64-1024, z 128, full
+scrubber stack from configs/sane/4_full.yaml) on the structured synthetic
+stream twice through the real CLI:
+
+  - ``default``: the shipping bench configuration — bf16 compute, bf16
+    parameter storage with stochastically-rounded stores, packed Cholesky
+    head, Pallas fused AdamW;
+  - ``ref_storage``: the reference-exact numerics configuration the
+    gradient-parity evidence used — f32 parameter storage, unfused optax
+    AdamW (``--f32-params --no-fused`` in bench.py terms).
+
+and commits both metric CSVs plus an overlay summary: per-metric relative
+differences of the train-loss curves (tail window) and of every eval metric
+row (losses, generative-restrictiveness R^2, CV decodability). "Within
+noise" is judged against the run-to-run differential spread measured in
+PARITY.md §1 (a few % on losses, wider on CV metrics).
+
+The reference has no counterpart (it publishes no numbers, SURVEY.md §6);
+this closes the gap between "the bench default" and "the config the parity
+evidence used" over a horizon where SR-rounding drift could compound.
+
+Usage:
+  python tools/quality_ab.py --epochs 300 --frames 24000 \
+      --out /tmp/quality_ab --data /tmp/scrubvae_quality
+  python tools/quality_ab.py --smoke          # tiny CPU harness check
+"""
+
+import argparse
+import csv
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+HERE = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(HERE))
+sys.path.insert(0, str(HERE / "tools"))
+
+from run_ladder import gen_data  # noqa: E402  (tools/run_ladder.py)
+
+ARMS = {
+    "default": {"param_dtype": "bf16", "fused_optimizer": True},
+    "ref_storage": {"param_dtype": "f32", "fused_optimizer": False},
+}
+
+
+def build_config(args, arm: str):
+    import yaml
+
+    cfg = yaml.safe_load((HERE / "configs" / "sane" / "4_full.yaml").read_text())
+    cfg["data"]["data_path"] = str(pathlib.Path(args.data).resolve()) + "/"
+    cfg["data"]["batch_size"] = args.batch
+    cfg["train"].update(
+        num_epochs=args.epochs,
+        eval_start_epoch=min(50, args.epochs),
+        **ARMS[arm],
+    )
+    if args.smoke:
+        cfg["model"].update(z_dim=16, channel=[8, 8, 16, 16, 32])
+        # smoke keeps f32 storage in BOTH arms (the bf16 win and its SR
+        # machinery are flagship-size mechanisms; tiny leaves stay f32
+        # under the MIN_PALLAS_ELEMS threshold anyway)
+        cfg["train"]["param_dtype"] = "f32"
+    else:
+        cfg["model"].update(z_dim=128, channel=[64, 128, 256, 512, 1024])
+    cfg["out_path"] = "current"
+    return cfg
+
+
+def run_arm(args, arm: str) -> pathlib.Path:
+    import yaml
+
+    out_root = pathlib.Path(args.out)
+    run_dir = out_root / "quality_ab" / arm
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "model_config.yaml").write_text(
+        yaml.safe_dump(build_config(args, arm))
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(HERE / "train_model.py"),
+            "-o", str(out_root),
+            "-p", "quality_ab",
+            "-n", arm,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=args.timeout,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-4000:])
+        raise RuntimeError(f"{arm} failed (rc {proc.returncode})")
+    print(f"{arm}: {args.epochs} epochs in {wall:.0f}s", flush=True)
+    return run_dir
+
+
+def read_metrics(run_dir: pathlib.Path):
+    rows = list(csv.DictReader(open(run_dir / "metrics.csv")))
+    out = {}
+    for r in rows:
+        for k, v in r.items():
+            if v in ("", None) or k == "epoch":
+                continue
+            try:
+                out.setdefault(k, []).append((int(r["epoch"]), float(v)))
+            except ValueError:
+                pass
+    return out
+
+
+def overlay(a: dict, b: dict, tail: int):
+    """Per-metric relative difference between two runs' curves.
+
+    Train curves: mean/max |rel diff| over the common tail window.
+    Eval metrics (sparse rows): compared on common epochs."""
+    summary = {}
+    for k in sorted(set(a) & set(b)):
+        ea = dict(a[k])
+        eb = dict(b[k])
+        common = sorted(set(ea) & set(eb))
+        if not common:
+            continue
+        window = common[-tail:] if k.endswith("_train") else common
+        diffs = []
+        for e in window:
+            va, vb = ea[e], eb[e]
+            denom = max(abs(va), abs(vb), 1e-9)
+            diffs.append(abs(va - vb) / denom)
+        summary[k] = {
+            "epochs_compared": len(window),
+            "mean_rel_diff": sum(diffs) / len(diffs),
+            "max_rel_diff": max(diffs),
+            "last_a": ea[window[-1]],
+            "last_b": eb[window[-1]],
+        }
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--frames", type=int, default=24000)
+    ap.add_argument("--val-frames", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--out", default="/tmp/quality_ab")
+    ap.add_argument("--data", default="/tmp/scrubvae_quality")
+    ap.add_argument("--tail", type=int, default=50,
+                    help="train-curve comparison window (last N epochs)")
+    ap.add_argument("--timeout", type=int, default=4 * 3600)
+    ap.add_argument("--artifacts", default=str(HERE / "artifacts" / "quality_ab"))
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes + 6 epochs (CPU harness check)")
+    ap.add_argument("--arms", nargs="*", default=list(ARMS))
+    args = ap.parse_args()
+    if args.smoke:
+        args.epochs = min(args.epochs, 6)
+        args.frames = min(args.frames, 1200)
+        args.batch = min(args.batch, 32)
+
+    gen_data(
+        pathlib.Path(args.data),
+        args.frames,
+        args.val_frames or args.frames // 3,
+        "structured",
+    )
+
+    runs = {}
+    for arm in args.arms:
+        runs[arm] = read_metrics(run_arm(args, arm))
+
+    art = pathlib.Path(args.artifacts)
+    art.mkdir(parents=True, exist_ok=True)
+    for arm in runs:
+        src = pathlib.Path(args.out) / "quality_ab" / arm / "metrics.csv"
+        (art / f"{arm}{'_smoke' if args.smoke else ''}.csv").write_text(
+            src.read_text()
+        )
+
+    if len(runs) == 2:
+        arms = list(runs)
+        summary = overlay(runs[arms[0]], runs[arms[1]], args.tail)
+        payload = {
+            "arms": {a: ARMS[a] for a in arms},
+            "epochs": args.epochs,
+            "frames": args.frames,
+            "batch": args.batch,
+            "smoke": bool(args.smoke),
+            "tail_window": args.tail,
+            "metrics": summary,
+        }
+        name = "summary_smoke.json" if args.smoke else "summary.json"
+        (art / name).write_text(json.dumps(payload, indent=1))
+        worst = sorted(
+            ((v["max_rel_diff"], k) for k, v in summary.items()), reverse=True
+        )[:8]
+        print("worst metric divergences (max rel diff over compared epochs):")
+        for d, k in worst:
+            print(f"  {k:40s} {d * 100:7.2f}%")
+        print(f"wrote {art / name}")
+
+
+if __name__ == "__main__":
+    main()
