@@ -185,6 +185,263 @@ class TestTrainerMesh:
             )
 
 
+def make_full_trainer(tmp_path, mesh_spec=None, n_frames=240, lr=1e-4):
+    """ResVAE trainer with EVERY stateful scrubber family active (VERDICT r3
+    #1): moving_avg_lsq + moving_avg + qda streaming moments, the
+    adversarial-net inner AdamW fit, and the MCMI estimator refresh — the
+    config the reference exercises via disentangle.method
+    (/root/reference/src/scrubvae/get/model.py:40-113) at dryrun shapes."""
+    import pathlib
+
+    pose, ids = synthetic_pose_stream(SKEL, n_frames=n_frames, n_ids=2, seed=0)
+    store = build_frame_store(pose, ids, SKEL, window=31, stride=2)
+    ds = StreamDataset(
+        store,
+        SKEL,
+        ("x6d", "root", "offsets", "target_pose", "avg_speed_3d", "heading", "ids"),
+        "midfwd",
+        arena_size=ARENA,
+        discrete_classes={"ids": np.unique(ids)},
+    )
+    cfg = {
+        "data": {
+            "batch_size": 16,
+            "dataset": "synthetic",
+            "direction_process": "midfwd",
+            "arena_size": ARENA.tolist(),
+        },
+        "disentangle": {
+            "method": {
+                "conditional": ["avg_speed_3d", "heading"],
+                "moving_avg_lsq": ["avg_speed_3d"],
+                "qda": ["ids"],
+                "moving_avg": ["ids"],
+                "adversarial_net": ["avg_speed_3d"],
+            },
+            "features": ["avg_speed_3d", "heading", "ids"],
+            "alpha": 1.0,
+            "balance_loss": None,
+            "bandwidth": 1.0,
+            "polynomial": 1,
+            "var_mode": "sphere",
+            "l2_reg": 0.0,
+            "n_iter": 2,
+        },
+        "model": {
+            "type": "rcnn",
+            "z_dim": 16,
+            "window": 31,
+            "diag": False,
+            "channel": [8, 8, 16, 16, 32],
+            "kernel": 5,
+            "start_epoch": 0,
+            "load_model": None,
+            "prior": "gaussian",
+            "activation": "prelu",
+            "init_dilation": None,
+        },
+        "train": {
+            "lr": lr,
+            "optimizer": "adamw",
+            "lr_schedule": None,
+            "num_epochs": 1,
+            "seed": 0,
+            "donate": False,
+            "mesh": mesh_spec,
+        },
+        "loss": {
+            "rotation": 1.0,
+            "prior": 0.001,
+            "root": 0.01,
+            "jpe": 1.0,
+            "mcmi": 0.1,
+            "avg_speed_3d_mals": 0.1,
+            "avg_speed_3d_an": 0.1,
+            "ids_qda": 0.01,
+            "ids_ma": 0.01,
+        },
+        "out_path": str(tmp_path) + "/",
+    }
+    for d in ("weights", "checkpoints", "latents"):
+        pathlib.Path(cfg["out_path"], d).mkdir(parents=True, exist_ok=True)
+    model, info = factory.build_model(
+        cfg["model"],
+        cfg["disentangle"],
+        n_keypts=18,
+        direction_process="midfwd",
+        arena_size=ARENA,
+        discrete_classes=ds.discrete_classes,
+        loss_keys=cfg["loss"].keys(),
+    )
+    from scrubvae_tpu.train.trainer import Trainer
+
+    return Trainer(cfg, {"train": ds, "val": ds}, model, info), ds
+
+
+def _tree_allclose(a, b, rtol, atol, where=""):
+    """Leaf-NORM-scaled comparison: max|a-b| <= rtol*max|a| + atol per leaf.
+
+    Per-element relative tolerance is the wrong metric for accumulator
+    buffers: psum reduction-order noise lands uniformly in absolute terms,
+    so a 4e-3 ripple on a near-zero element of a norm-15 moment matrix is
+    noise, not divergence. A genuinely layout-dependent bug (e.g. a moment
+    accumulated per-shard instead of psum'd) is off by ~(1 - 1/n_shards) of
+    the leaf norm and still fails loudly."""
+    la, _ = jax.tree.flatten_with_path(a)
+    lb, _ = jax.tree.flatten_with_path(b)
+    assert len(la) == len(lb), (where, len(la), len(lb))
+    for (pa, va), (_, vb) in zip(la, lb):
+        va = np.asarray(va, np.float64)
+        vb = np.asarray(vb, np.float64)
+        tol = rtol * np.max(np.abs(va), initial=0.0) + atol
+        d = np.max(np.abs(va - vb), initial=0.0)
+        assert d <= tol, (
+            f"{where}{jax.tree_util.keystr(pa)}: max|diff|={d:.3e} > "
+            f"tol={tol:.3e} (leaf norm {np.max(np.abs(va)):.3e})"
+        )
+
+
+def _tree_l2close(a, b, rel, where=""):
+    """Per-leaf l2-relative comparison: ||a-b||_2 <= rel * (||a||_2 + 1e-8)."""
+    la, _ = jax.tree.flatten_with_path(a)
+    lb, _ = jax.tree.flatten_with_path(b)
+    assert len(la) == len(lb), (where, len(la), len(lb))
+    for (pa, va), (_, vb) in zip(la, lb):
+        va = np.asarray(va, np.float64)
+        vb = np.asarray(vb, np.float64)
+        d = float(np.linalg.norm((va - vb).ravel()))
+        n = float(np.linalg.norm(va.ravel())) + 1e-8
+        assert d <= rel * n, (
+            f"{where}{jax.tree_util.keystr(pa)}: ||diff||={d:.3e} > "
+            f"{rel} * ||a||={n:.3e}"
+        )
+
+
+def _run_steps(tr, n_steps=3):
+    state = tr.state
+    loss_scale = tr.loss_scale_for_epoch(1)
+    metrics = None
+    for i in range(n_steps):
+        idx = tr._device_idx(jnp.arange(16) + 16 * i)
+        state, metrics = tr.train_step(state, idx, loss_scale)
+    return state, metrics
+
+
+class TestFullStackEquivalence:
+    def test_stateful_scrubbers_invariant_across_meshes(self, tmp_path):
+        """3 train steps of the full scrubber stack from identical init on
+        single-device vs {data:8} vs {data:4, model:2}: streaming moments
+        (MALS Sxx/Sxy + auto-tuned lambdas, MA class means, QDA means/covs),
+        the adversarial discriminator's params+AdamW moments, the MCMI
+        sample buffers, and the model params must all agree — the streaming
+        buffers accumulate GLOBAL batch statistics under SPMD (SURVEY §5),
+        not per-shard fractions, and the adv inner loop's shuffle
+        permutation must be replica-consistent (reference
+        disentangle.py:663-714 semantics).
+
+        Outer lr is pinned tiny (the TestTrainerMesh technique): measured
+        on this exact config, at lr 1e-4 Adam's first-step m/sqrt(v)
+        rescaling turns ~1e-6 reduction-order gradient noise into +-2*lr
+        parameter flips wherever a gradient element is near zero, which
+        compounds mu across layouts to ~1e-3 by step 3 and would feed the
+        adv inner AdamW (lr 0.1) the same sign-flip amplifier. With the
+        outer optimizer de-chaosed, every stateful-scrubber path (incl.
+        the inner adversarial fit at its REAL lr and the lambda walks,
+        which this measured run showed stay step-for-step identical across
+        layouts) must match to reduction-order noise."""
+        ref_state, ref_metrics = _run_steps(
+            make_full_trainer(tmp_path / "single", lr=1e-8)[0]
+        )
+
+        for name, spec in (("dp8", {"data": 8}), ("tp", {"data": 4, "model": 2})):
+            st, metrics = _run_steps(
+                make_full_trainer(tmp_path / name, spec, lr=1e-8)[0]
+            )
+            for k in ref_metrics:
+                a, b = float(ref_metrics[k]), float(metrics[k])
+                assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (name, k, a, b)
+            _tree_allclose(
+                ref_state.scrub_state, st.scrub_state, 1e-4, 1e-6,
+                where=f"{name}:scrub_state",
+            )
+            # The discriminator's own AdamW runs at lr 0.1 (reference
+            # disentangle.py:667) for 2 inner iters per outer step, and its
+            # m/sqrt(v) rescaling sign-flips ISOLATED near-zero-gradient
+            # elements on reduction-order noise (measured here: one element
+            # drifting 1e-4..1e-2 with the rest of the leaf at 1e-6, and
+            # run-to-run variation at fixed seed from XLA:CPU thread-level
+            # reduction order — the algorithm's chaos, not a sharding
+            # defect). Max-element bounds can't hold; the l2-relative bound
+            # can: isolated flips vanish in l2, while a shuffle/psum bug
+            # feeds the discriminator DIFFERENT data and shifts whole
+            # leaves by ~40% after 6 lr-0.1 updates.
+            _tree_l2close(
+                ref_state.adv_states, st.adv_states, 5e-2,
+                where=f"{name}:adv_states",
+            )
+            assert ref_state.mi_state is not None and st.mi_state is not None
+            _tree_allclose(
+                ref_state.mi_state, st.mi_state, 1e-4, 1e-6,
+                where=f"{name}:mi_state",
+            )
+            _tree_allclose(
+                ref_state.params, st.params, 1e-4, 1e-6, where=f"{name}:params"
+            )
+
+
+class TestMeshCheckpoint:
+    def test_tp_checkpoint_roundtrip(self, tmp_path):
+        """Save from an ACTIVE {data:4, model:2} mesh (fc_sigma kernel
+        column-sharded) and restore into (a) the same mesh and (b) a
+        single-device trainer: every param leaf round-trips through the
+        msgpack host gather bit-exactly (VERDICT r3 #7; utils/checkpoint.py
+        previously only round-tripped host trees)."""
+        from scrubvae_tpu.utils import checkpoint as ckpt
+
+        tr, _ = make_full_trainer(tmp_path / "src", {"data": 4, "model": 2})
+        state, _ = _run_steps(tr, n_steps=1)
+        tr.state = state
+        ckpt.save_weights(
+            tr.out_path, 1, state.params, state.batch_stats
+        )
+        ckpt.save_train_state(tr.out_path, 1, state)
+        host_params = jax.device_get(state.params)
+
+        def restored_trainer(sub, mesh_spec):
+            t, _ = make_full_trainer(tmp_path / sub, mesh_spec)
+            t.config["model"]["load_model"] = tr.out_path
+            t.config["model"]["start_epoch"] = 1
+            t.start_epoch = 1
+            t._maybe_restore()
+            if t.mesh is not None:
+                from scrubvae_tpu.parallel import place_state
+
+                t.state = place_state(t.state, t.mesh)
+            return t
+
+        # (a) same mesh: sharded placement preserved, values identical
+        t_mesh = restored_trainer("mesh", {"data": 4, "model": 2})
+        _tree_allclose(host_params, t_mesh.state.params, 0, 0, where="mesh:")
+        _tree_allclose(
+            jax.device_get(state.scrub_state),
+            t_mesh.state.scrub_state,
+            0, 0, where="mesh:scrub:",
+        )
+        # the TP leaf landed sharded again after restore
+        sig = t_mesh.state.params["vae"]["encoder"]
+        sig = sig.get("fc_sigma") or sig.get("fc_sigma_v")
+        from jax.sharding import PartitionSpec
+
+        assert sig["kernel"].sharding.spec == PartitionSpec(None, "model")
+
+        # (b) single-device: gathered values restore bit-exactly
+        t_one = restored_trainer("one", None)
+        _tree_allclose(host_params, t_one.state.params, 0, 0, where="one:")
+        # and the restored single-device trainer still steps
+        st2, m2 = _run_steps(t_one, n_steps=1)
+        assert np.isfinite(float(m2["total"]))
+
+
 class TestTensorParallel:
     def test_model_axis_shards_sigma_head(self, tmp_path):
         """train.mesh {data, model}: the fc_sigma kernel/bias actually land
