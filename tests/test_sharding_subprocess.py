@@ -46,7 +46,9 @@ def test_sharding_suite_under_8_virtual_devices():
         cwd=str(HERE.parent),
         capture_output=True,
         text=True,
-        timeout=900,
+        # r4: the full-stack equivalence test (5 trainer compiles) plus the
+        # TP checkpoint round-trip roughly tripled this file's wall time
+        timeout=2700,
     )
     assert proc.returncode == 0, (
         f"sharding tests failed\n--- stdout ---\n{proc.stdout[-4000:]}"
@@ -54,5 +56,5 @@ def test_sharding_suite_under_8_virtual_devices():
     )
     # the tests must actually have run (not self-skipped)
     m = re.search(r"(\d+) passed", proc.stdout)
-    assert m and int(m.group(1)) >= 2, proc.stdout[-2000:]
+    assert m and int(m.group(1)) >= 6, proc.stdout[-2000:]
     assert "skipped" not in proc.stdout, proc.stdout[-2000:]

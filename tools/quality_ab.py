@@ -131,14 +131,22 @@ def overlay(a: dict, b: dict, tail: int):
         diffs = []
         for e in window:
             va, vb = ea[e], eb[e]
+            # NaN-in-both is agreement (e.g. the QDA decodability folds NaN
+            # identically in each arm); NaN-in-one is maximal divergence
+            if va != va or vb != vb:
+                diffs.append(0.0 if (va != va and vb != vb) else 1.0)
+                continue
             denom = max(abs(va), abs(vb), 1e-9)
             diffs.append(abs(va - vb) / denom)
+        def _j(v):  # keep the summary strict JSON
+            return None if v != v else v
+
         summary[k] = {
             "epochs_compared": len(window),
             "mean_rel_diff": sum(diffs) / len(diffs),
             "max_rel_diff": max(diffs),
-            "last_a": ea[window[-1]],
-            "last_b": eb[window[-1]],
+            "last_a": _j(ea[window[-1]]),
+            "last_b": _j(eb[window[-1]]),
         }
     return summary
 
