@@ -237,7 +237,13 @@ class Trainer:
 
             self._reinit_gr = jax.jit(reinit)
 
-        self.logger = MetricLogger(self.out_path, use_wandb=run is not None, wandb_run=run)
+        self.logger = MetricLogger(
+            self.out_path,
+            use_wandb=run is not None,
+            wandb_run=run,
+            resume=bool(self.config["model"].get("load_model"))
+            and self.start_epoch > 0,
+        )
         self.np_rng = np.random.default_rng(self.seed)
 
     # -- helpers ----------------------------------------------------------

@@ -15,7 +15,13 @@ __all__ = ["MetricLogger"]
 
 
 class MetricLogger:
-    def __init__(self, out_path: str, use_wandb: bool = False, wandb_run=None):
+    def __init__(
+        self,
+        out_path: str,
+        use_wandb: bool = False,
+        wandb_run=None,
+        resume: bool = False,
+    ):
         self.path = Path(out_path) / "metrics.csv"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fieldnames = None
@@ -29,6 +35,28 @@ class MetricLogger:
                 self._wandb = None
         self.history: Dict[str, list] = {}
         self._rows: list = []
+        if not resume and self.path.exists():
+            # Fresh run into a dir with a stale metrics.csv: start over
+            # (matches the weights/ files, which get overwritten epoch
+            # by epoch) instead of appending a second run's rows.
+            self.path.unlink()
+        if resume and self.path.exists():
+            # Resumed run (model.load_model + start_epoch): adopt the
+            # existing rows so the schema-growth rewrite below preserves
+            # pre-resume history instead of truncating the file to the
+            # rows seen by this process.
+            with open(self.path, newline="") as f:
+                reader = csv.DictReader(f)
+                if reader.fieldnames:
+                    self._fieldnames = list(reader.fieldnames)
+                    for row in reader:
+                        row = {
+                            k: _int_or_scalar(v) if k == "epoch" else _scalar(v)
+                            for k, v in row.items()
+                        }
+                        self._rows.append(row)
+                        for k, v in row.items():
+                            self.history.setdefault(k, []).append(v)
 
     def log(self, metrics: Dict[str, float], epoch: Optional[int] = None):
         row = {"epoch": epoch, **{k: _scalar(v) for k, v in metrics.items()}}
@@ -63,3 +91,10 @@ def _scalar(v):
         return float(v)
     except (TypeError, ValueError):
         return str(v)
+
+
+def _int_or_scalar(v):
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return _scalar(v)
