@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
 
-from quality_ab import overlay, summarize  # noqa: E402
+from quality_ab import overlay, summarize, tail_stats  # noqa: E402
 
 NAN = float("nan")
 
@@ -79,6 +79,15 @@ class TestSummarizeVerdict:
     def test_small_floor_tolerates_sub_2pct_ab_on_quiet_metrics(self):
         s = summarize(self._runs(ab_diff=0.015, noise_diff=0.0), tail=5)
         assert s["verdict"]["m_train"]["within_noise"]
+
+    def test_tail_stats_window_and_nan_drop(self):
+        runs = {
+            "a": curves(m_train={1: 10.0, 2: 20.0, 3: 30.0, 4: NAN}),
+        }
+        s = tail_stats(runs, lo=2, hi=4)
+        assert s["a"]["m_train"]["n"] == 2  # epoch 1 outside, epoch 4 NaN
+        assert s["a"]["m_train"]["mean"] == 25.0
+        assert s["a"]["m_train"]["std"] > 0
 
     def test_no_noise_arm_no_verdict(self):
         runs = self._runs(0.05, 0.0)

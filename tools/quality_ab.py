@@ -242,6 +242,29 @@ def summarize(runs: dict, tail: int) -> dict:
     return out
 
 
+def tail_stats(runs: dict, lo: int, hi: int) -> dict:
+    """Per-arm per-metric mean±std over epochs in [lo, hi] (NaNs dropped;
+    the complementary view to the pairwise overlay: shows each arm's own
+    tail-window envelope so phase-offset oscillations don't read as
+    divergence)."""
+    import statistics
+
+    out = {}
+    for arm, run in runs.items():
+        stats = {}
+        for k, pts in run.items():
+            vals = [v for e, v in pts if lo <= e <= hi and v == v]
+            if not vals:
+                continue
+            stats[k] = {
+                "mean": statistics.mean(vals),
+                "std": statistics.stdev(vals) if len(vals) > 1 else 0.0,
+                "n": len(vals),
+            }
+        out[arm] = stats
+    return out
+
+
 def print_report(summary: dict):
     noise = summary.get("seed_noise", {})
     print(f"{'metric':42s} {'ab_mean':>8s} {'noise_mean':>10s}  verdict")
