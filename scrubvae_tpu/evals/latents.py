@@ -20,21 +20,35 @@ def encode_dataset(model, variables, dataset, batch_size: int = 512) -> np.ndarr
 
     Uses the encoders' ``mu_only`` fast path (the Cholesky head - 25% of
     encoder FLOPs at the flagship point - never runs; eval-mode z is mu,
-    reference get/eval.py:62-66)."""
+    reference get/eval.py:62-66).
 
-    @jax.jit
-    def enc(idx):
-        data = dataset.batch(idx)
-        out = model.apply(
-            variables, data, train=False, method=model.encode, mu_only=True
-        )
-        return out["mu"]
+    The jitted closure is cached on the dataset (keyed by model identity
+    and batch size) and takes ``variables`` as an argument, so repeated
+    calls - the per-saved-epoch extraction loop of the epoch_metric
+    harness (reference eval/metrics.py:23-88) - reuse the compiled
+    executable instead of paying two encoder compiles per call."""
+    # structural (dataclass) equality, not identity: the per-epoch
+    # extraction loop rebuilds an identical module object each call
+    cache = getattr(dataset, "_enc_cache", None)
+    if cache is None or cache[0] != model or cache[1] != batch_size:
+
+        @jax.jit
+        def enc(variables, idx):
+            data = dataset.batch(idx)
+            out = model.apply(
+                variables, data, train=False, method=model.encode, mu_only=True
+            )
+            return out["mu"]
+
+        cache = (model, batch_size, enc)
+        dataset._enc_cache = cache
+    enc = cache[2]
 
     n = len(dataset)
     zs = []
     for lo in range(0, n, batch_size):
         idx = jnp.arange(lo, min(lo + batch_size, n))
-        zs.append(np.asarray(enc(idx)))
+        zs.append(np.asarray(enc(variables, idx)))
     return np.concatenate(zs, axis=0)
 
 

@@ -134,11 +134,13 @@ def main():
         return out["mu"], jnp.sum(extra)
 
     def full_extract():
+        # mirror encode_dataset's per-batch host transfer so the two
+        # extraction timings compare like-for-like
         outs = []
         for lo in range(0, len(ds), batch):
             idx = jnp.arange(lo, min(lo + batch, len(ds)))
-            outs.append(enc_full(idx)[0])
-        return outs[-1]
+            outs.append(np.asarray(enc_full(idx)[0]))
+        return np.concatenate(outs, axis=0)
 
     dt_full = time_call(full_extract, iters=2)
     results["latent_extraction"] = {
