@@ -44,12 +44,15 @@ from run_ladder import gen_data  # noqa: E402  (tools/run_ladder.py)
 ARMS = {
     "default": {"param_dtype": "bf16", "fused_optimizer": True},
     "ref_storage": {"param_dtype": "f32", "fused_optimizer": False},
-    # Noise floor: identical numerics to "default", different train.seed.
-    # Long-horizon trajectories of the adversarial/annealed metrics are
-    # chaotic; "within noise" can only be judged against the spread TWO
-    # RUNS OF THE SAME NUMERICS show. This arm measures that spread.
+    # Noise floors: identical numerics, different train.seed — one arm per
+    # numerics. Long-horizon trajectories of the adversarial/annealed
+    # metrics are chaotic; "within noise" is only judged against the
+    # spread two runs of the SAME numerics show (and the f32 pair resolves
+    # whether a basin difference tracks numerics or the attractor lottery).
     "default_seed1": {"param_dtype": "bf16", "fused_optimizer": True,
                       "seed": 1},
+    "ref_storage_seed1": {"param_dtype": "f32", "fused_optimizer": False,
+                          "seed": 1},
 }
 
 
@@ -239,6 +242,10 @@ def summarize(runs: dict, tail: int) -> dict:
             1 for v in verdict.values() if v["within_noise"]
         )
         out["metric_count"] = len(verdict)
+    if "ref_storage_seed1" in runs:
+        out["f32_seed_noise"] = overlay(
+            runs["ref_storage"], runs["ref_storage_seed1"], tail
+        )
     return out
 
 
