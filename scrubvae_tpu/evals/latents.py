@@ -26,7 +26,14 @@ def encode_dataset(model, variables, dataset, batch_size: int = 512) -> np.ndarr
     and batch size) and takes ``variables`` as an argument, so repeated
     calls - the per-saved-epoch extraction loop of the epoch_metric
     harness (reference eval/metrics.py:23-88) - reuse the compiled
-    executable instead of paying two encoder compiles per call."""
+    executable instead of paying two encoder compiles per call.
+
+    The dataset's arrays are baked into the trace as constants, so the
+    cache assumes the dataset is IMMUTABLE after construction (true for
+    every dataset class in this package - batch() reads frozen device
+    arrays). If arrays were ever mutated in place, cached calls would
+    silently encode the stale data; delete ``dataset._enc_cache`` after
+    any such mutation."""
     # structural (dataclass) equality, not identity: the per-epoch
     # extraction loop rebuilds an identical module object each call
     cache = getattr(dataset, "_enc_cache", None)

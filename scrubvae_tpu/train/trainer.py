@@ -243,6 +243,7 @@ class Trainer:
             wandb_run=run,
             resume=bool(self.config["model"].get("load_model"))
             and self.start_epoch > 0,
+            start_epoch=self.start_epoch,
         )
         self.np_rng = np.random.default_rng(self.seed)
 

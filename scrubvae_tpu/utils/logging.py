@@ -21,6 +21,7 @@ class MetricLogger:
         use_wandb: bool = False,
         wandb_run=None,
         resume: bool = False,
+        start_epoch: Optional[int] = None,
     ):
         self.path = Path(out_path) / "metrics.csv"
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -35,16 +36,20 @@ class MetricLogger:
                 self._wandb = None
         self.history: Dict[str, list] = {}
         self._rows: list = []
-        if not resume and self.path.exists():
-            # Fresh run into a dir with a stale metrics.csv: start over
-            # (matches the weights/ files, which get overwritten epoch
-            # by epoch) instead of appending a second run's rows.
-            self.path.unlink()
+        # Fresh run into a dir with a stale metrics.csv: start over
+        # (matches the weights/ files, which get overwritten epoch by
+        # epoch) instead of appending a second run's rows. Deferred to
+        # the first log() call so read-only Trainer constructions (model
+        # export, eval tools, bench) never delete a real run's history.
+        self._truncate_on_first_log = not resume and self.path.exists()
         if resume and self.path.exists():
             # Resumed run (model.load_model + start_epoch): adopt the
             # existing rows so the schema-growth rewrite below preserves
             # pre-resume history instead of truncating the file to the
-            # rows seen by this process.
+            # rows seen by this process. Rows beyond start_epoch are
+            # dropped: resuming from an earlier checkpoint than the last
+            # logged epoch re-logs those epochs, and keeping the stale
+            # rows would leave duplicate conflicting epochs in the CSV.
             with open(self.path, newline="") as f:
                 reader = csv.DictReader(f)
                 if reader.fieldnames:
@@ -54,11 +59,29 @@ class MetricLogger:
                             k: _int_or_scalar(v) if k == "epoch" else _scalar(v)
                             for k, v in row.items()
                         }
+                        if (
+                            start_epoch is not None
+                            and isinstance(row.get("epoch"), int)
+                            and row["epoch"] > start_epoch
+                        ):
+                            continue
                         self._rows.append(row)
                         for k, v in row.items():
                             self.history.setdefault(k, []).append(v)
+            if start_epoch is not None:
+                # Rewrite immediately so the dropped rows are gone even
+                # if the process dies before the first log().
+                with open(self.path, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=self._fieldnames or [])
+                    if self._fieldnames:
+                        writer.writeheader()
+                        writer.writerows(self._rows)
 
     def log(self, metrics: Dict[str, float], epoch: Optional[int] = None):
+        if self._truncate_on_first_log:
+            self._truncate_on_first_log = False
+            if self.path.exists():
+                self.path.unlink()
         row = {"epoch": epoch, **{k: _scalar(v) for k, v in metrics.items()}}
         self._rows.append(row)
         for k, v in row.items():

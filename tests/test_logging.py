@@ -64,3 +64,39 @@ class TestMetricLogger:
         lg2 = MetricLogger(tmp_path, resume=True)
         assert lg2.history["total_train"] == [1.5]
         assert isinstance(lg2.history["total_train"][0], float)
+
+    def test_readonly_construction_never_deletes_history(self, tmp_path):
+        """ADVICE r4 (high): export/eval/bench tools construct Trainer
+        against REAL run dirs with resume=False; the stale-file truncation
+        must be deferred to the first log() so those read-only
+        constructions never delete a trained run's metrics history."""
+        lg = MetricLogger(tmp_path)
+        lg.log({"a_train": 1.0}, epoch=1)
+        # tool-style construction: never logs
+        MetricLogger(tmp_path)
+        rows = read_rows(tmp_path / "metrics.csv")
+        assert [r["epoch"] for r in rows] == ["1"]
+        # a second fresh construction that DOES log still truncates
+        lg3 = MetricLogger(tmp_path)
+        lg3.log({"a_train": 9.0}, epoch=1)
+        rows = read_rows(tmp_path / "metrics.csv")
+        assert [r["epoch"] for r in rows] == ["1"]
+        assert rows[0]["a_train"] == "9.0"
+
+    def test_resume_drops_rows_beyond_start_epoch(self, tmp_path):
+        """ADVICE r4 (low): resuming from an EARLIER checkpoint than the
+        last logged epoch must drop the stale future-epoch rows so the
+        re-logged epochs don't conflict with leftovers."""
+        lg = MetricLogger(tmp_path)
+        for e in range(1, 8):
+            lg.log({"a_train": float(e)}, epoch=e)
+        # resume from epoch 5: rows 6,7 are stale
+        lg2 = MetricLogger(tmp_path, resume=True, start_epoch=5)
+        assert lg2.history["epoch"] == [1, 2, 3, 4, 5]
+        # dropped rows are rewritten out of the file immediately
+        rows = read_rows(tmp_path / "metrics.csv")
+        assert [r["epoch"] for r in rows] == ["1", "2", "3", "4", "5"]
+        lg2.log({"a_train": 60.0}, epoch=6)
+        rows = read_rows(tmp_path / "metrics.csv")
+        assert [r["epoch"] for r in rows] == ["1", "2", "3", "4", "5", "6"]
+        assert rows[-1]["a_train"] == "60.0"

@@ -95,3 +95,47 @@ class TestSummarizeVerdict:
         s = summarize(runs, tail=5)
         assert "verdict" not in s and "seed_noise" not in s
         assert "m_train" in s["metrics"]
+
+    def test_arbitrary_arm_subset_does_not_crash(self):
+        """ADVICE r4 (medium): summarize() must not KeyError when the
+        canonical default/ref_storage arms are absent from --arms."""
+        base = curves(m_train={e: 100.0 for e in range(1, 6)})
+        seed = curves(m_train={e: 101.0 for e in range(1, 6)})
+        s = summarize({"default": base, "default_seed1": seed}, tail=5)
+        # seed-only subset: noise computed, generic fallback comparison
+        assert "seed_noise" in s
+        assert "m_train" in s["metrics"]
+        s2 = summarize(
+            {"ref_storage": base, "ref_storage_seed1": seed}, tail=5
+        )
+        assert "f32_seed_noise" in s2
+
+    def test_three_seed_noise_floor_is_max_pairwise(self):
+        """VERDICT r4 #7: with three seed replicates the floor is the max
+        over the 3 pairwise spreads, not just seed0-vs-seed1."""
+        mk = lambda v: curves(m_train={e: v for e in range(1, 6)})
+        runs = {
+            "default": mk(100.0),
+            "default_seed1": mk(101.0),   # 1% from seed0
+            "default_seed2": mk(106.0),   # ~6% from seed0, 5% from seed1
+            "ref_storage": mk(104.0),     # 4% A/B divergence
+        }
+        s = summarize(runs, tail=5)
+        assert s["seed_noise"]["m_train"]["n_pairs"] == 3
+        # floor = max pairwise ~= 6% > 4% A/B -> within noise
+        assert s["seed_noise"]["m_train"]["mean_rel_diff"] > 0.05
+        assert s["verdict"]["m_train"]["within_noise"]
+
+    def test_deviation_arms_get_their_own_verdicts(self):
+        """VERDICT r4 #3: sigma_rank256/diag_cov arms are compared against
+        the default baseline with verdicts vs the default-numerics floor."""
+        mk = lambda v: curves(m_train={e: v for e in range(1, 6)})
+        runs = {
+            "default": mk(100.0),
+            "default_seed1": mk(103.0),
+            "sigma_rank256": mk(101.0),
+            "diag_cov": mk(130.0),
+        }
+        s = summarize(runs, tail=5)
+        assert s["verdicts"]["sigma_rank256"]["m_train"]["within_noise"]
+        assert not s["verdicts"]["diag_cov"]["m_train"]["within_noise"]

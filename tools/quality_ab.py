@@ -44,16 +44,39 @@ from run_ladder import gen_data  # noqa: E402  (tools/run_ladder.py)
 ARMS = {
     "default": {"param_dtype": "bf16", "fused_optimizer": True},
     "ref_storage": {"param_dtype": "f32", "fused_optimizer": False},
-    # Noise floors: identical numerics, different train.seed — one arm per
-    # numerics. Long-horizon trajectories of the adversarial/annealed
-    # metrics are chaotic; "within noise" is only judged against the
-    # spread two runs of the SAME numerics show (and the f32 pair resolves
-    # whether a basin difference tracks numerics or the attractor lottery).
+    # Noise floors: identical numerics, different train.seed. Long-horizon
+    # trajectories of the adversarial/annealed metrics are chaotic;
+    # "within noise" is only judged against the spread runs of the SAME
+    # numerics show (and the f32 pairs resolve whether a basin difference
+    # tracks numerics or the attractor lottery). Three seeds per numerics
+    # (VERDICT r4 #7): the floor is the max pairwise spread over n=3.
     "default_seed1": {"param_dtype": "bf16", "fused_optimizer": True,
                       "seed": 1},
     "ref_storage_seed1": {"param_dtype": "f32", "fused_optimizer": False,
                           "seed": 1},
+    "default_seed2": {"param_dtype": "bf16", "fused_optimizer": True,
+                      "seed": 2},
+    "ref_storage_seed2": {"param_dtype": "f32", "fused_optimizer": False,
+                          "seed": 2},
+    # Opt-in perf deviations to certify against the seed floor (VERDICT
+    # r4 #3): low-rank fc_sigma head (+6% measured r2) and diagonal
+    # covariance (+25% measured). "model" keys land in cfg["model"];
+    # everything else in cfg["train"]. Reference anchor for both: the
+    # full-covariance CholeskyL head (model/residual.py:39-68).
+    "sigma_rank256": {"param_dtype": "bf16", "fused_optimizer": True,
+                      "model": {"sigma_head_rank": 256}},
+    "diag_cov": {"param_dtype": "bf16", "fused_optimizer": True,
+                 "model": {"diag": True}},
 }
+
+# Seed-replicate families: arms whose pairwise spread defines the noise
+# floor for their numerics. Deviation arms are judged against the
+# DEFAULT-numerics floor (they share bf16+fused numerics with it).
+SEED_FAMILIES = {
+    "default": ["default", "default_seed1", "default_seed2"],
+    "ref_storage": ["ref_storage", "ref_storage_seed1", "ref_storage_seed2"],
+}
+_SEED_ARMS = {a for fam in SEED_FAMILIES.values() for a in fam[1:]}
 
 
 def build_config(args, arm: str):
@@ -62,10 +85,12 @@ def build_config(args, arm: str):
     cfg = yaml.safe_load((HERE / "configs" / "sane" / "4_full.yaml").read_text())
     cfg["data"]["data_path"] = str(pathlib.Path(args.data).resolve()) + "/"
     cfg["data"]["batch_size"] = args.batch
+    arm_cfg = dict(ARMS[arm])
+    model_over = dict(arm_cfg.pop("model", {}))
     cfg["train"].update(
         num_epochs=args.epochs,
         eval_start_epoch=min(50, args.epochs),
-        **ARMS[arm],
+        **arm_cfg,
     )
     if args.smoke:
         cfg["model"].update(z_dim=16, channel=[8, 8, 16, 16, 32])
@@ -73,8 +98,11 @@ def build_config(args, arm: str):
         # machinery are flagship-size mechanisms; tiny leaves stay f32
         # under the MIN_PALLAS_ELEMS threshold anyway)
         cfg["train"]["param_dtype"] = "f32"
+        if "sigma_head_rank" in model_over:
+            model_over["sigma_head_rank"] = 8  # rank < z_dim at smoke size
     else:
         cfg["model"].update(z_dim=128, channel=[64, 128, 256, 512, 1024])
+    cfg["model"].update(**model_over)
     cfg["out_path"] = "current"
     return cfg
 
@@ -174,8 +202,15 @@ def main():
     ap.add_argument("--artifacts", default=str(HERE / "artifacts" / "quality_ab"))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + 6 epochs (CPU harness check)")
-    ap.add_argument("--arms", nargs="*", default=list(ARMS))
+    ap.add_argument("--arms", nargs="*",
+                    default=[a for a in ARMS
+                             if a not in ("sigma_rank256", "diag_cov")])
     args = ap.parse_args()
+    unknown = [a for a in args.arms if a not in ARMS]
+    if unknown:
+        # validate BEFORE hours of training (ADVICE r4): a typo'd arm
+        # name must fail here, not in summarize() after all arms ran
+        ap.error(f"unknown arm(s) {unknown}; choose from {list(ARMS)}")
     if args.smoke:
         args.epochs = min(args.epochs, 6)
         args.frames = min(args.frames, 1200)
@@ -217,35 +252,97 @@ def main():
         print(f"wrote {art / name}")
 
 
+def _seed_noise(runs: dict, family: list, tail: int):
+    """Per-metric noise floor from every pairwise overlay of the seed
+    replicates present (n=2 -> the single pair, n=3 -> max over 3 pairs;
+    the max is the conservative floor VERDICT r4 #7 asked for)."""
+    import itertools
+
+    present = [a for a in family if a in runs]
+    if len(present) < 2:
+        return None, present
+    pairs = [
+        overlay(runs[a], runs[b], tail)
+        for a, b in itertools.combinations(present, 2)
+    ]
+    noise = {}
+    for k in sorted(set().union(*pairs)):
+        vals = [p[k]["mean_rel_diff"] for p in pairs if k in p]
+        maxes = [p[k]["max_rel_diff"] for p in pairs if k in p]
+        noise[k] = {
+            "mean_rel_diff": max(vals),
+            "max_rel_diff": max(maxes),
+            "n_pairs": len(vals),
+        }
+    return noise, present
+
+
+def _verdict(ab: dict, noise: dict) -> dict:
+    """Per-metric WITHIN NOISE call: the numerics divergence must not
+    exceed the same-numerics seed spread (small floor added so near-zero
+    noise metrics aren't flagged for sub-% deltas)."""
+    verdict = {}
+    for k, v in ab.items():
+        n = noise.get(k)
+        if n is None:
+            continue
+        bound = n["mean_rel_diff"] + 0.02
+        verdict[k] = {
+            "ab_mean_rel_diff": v["mean_rel_diff"],
+            "seed_noise_mean_rel_diff": n["mean_rel_diff"],
+            "within_noise": v["mean_rel_diff"] <= bound,
+        }
+    return verdict
+
+
 def summarize(runs: dict, tail: int) -> dict:
-    """A/B overlay, plus (when the noise arm ran) the per-metric verdict:
-    a numerics divergence counts as WITHIN NOISE when it does not exceed
-    the spread two same-numerics seeds show on that metric (small floor
-    added so near-zero noise metrics aren't flagged for sub-% deltas)."""
-    out = {"metrics": overlay(runs["default"], runs["ref_storage"], tail)}
-    if "default_seed1" in runs:
-        noise = overlay(runs["default"], runs["default_seed1"], tail)
+    """A/B overlays of every deviation arm vs the baseline, plus (when
+    seed-replicate arms ran) per-metric verdicts against the seed-spread
+    noise floor. Robust to arbitrary --arms subsets (ADVICE r4): no arm
+    name is required; with neither canonical arm present it falls back to
+    a generic pairwise overlay of whatever ran."""
+    out = {}
+    baseline = "default" if "default" in runs else sorted(runs)[0]
+
+    noise, noise_arms = _seed_noise(runs, SEED_FAMILIES["default"], tail)
+    if noise is not None:
         out["seed_noise"] = noise
-        verdict = {}
-        for k, v in out["metrics"].items():
-            n = noise.get(k)
-            if n is None:
-                continue
-            bound = n["mean_rel_diff"] + 0.02
-            verdict[k] = {
-                "ab_mean_rel_diff": v["mean_rel_diff"],
-                "seed_noise_mean_rel_diff": n["mean_rel_diff"],
-                "within_noise": v["mean_rel_diff"] <= bound,
-            }
-        out["verdict"] = verdict
-        out["within_noise_count"] = sum(
-            1 for v in verdict.values() if v["within_noise"]
-        )
-        out["metric_count"] = len(verdict)
-    if "ref_storage_seed1" in runs:
-        out["f32_seed_noise"] = overlay(
-            runs["ref_storage"], runs["ref_storage_seed1"], tail
-        )
+        out["seed_noise_arms"] = noise_arms
+    f32_noise, f32_arms = _seed_noise(runs, SEED_FAMILIES["ref_storage"], tail)
+    if f32_noise is not None:
+        out["f32_seed_noise"] = f32_noise
+        out["f32_seed_noise_arms"] = f32_arms
+
+    comparisons = {
+        arm: overlay(runs[baseline], runs[arm], tail)
+        for arm in sorted(runs)
+        if arm != baseline and arm not in _SEED_ARMS
+    }
+    if not comparisons and len(runs) >= 2:
+        # seed-only subsets: overlay the first two arms so the artifact
+        # still records SOMETHING comparable
+        a, b = sorted(runs)[:2]
+        comparisons = {b: overlay(runs[a], runs[b], tail)}
+    out["baseline"] = baseline
+    out["comparisons"] = comparisons
+    # Back-compat view: "metrics"/"verdict" are the canonical
+    # default-vs-ref_storage comparison when it ran, else the first one.
+    canon = "ref_storage" if "ref_storage" in comparisons else (
+        next(iter(comparisons), None)
+    )
+    out["metrics"] = comparisons.get(canon, {})
+
+    if noise is not None:
+        out["verdicts"] = {
+            arm: _verdict(ab, noise) for arm, ab in comparisons.items()
+        }
+        if canon is not None:
+            verdict = out["verdicts"][canon]
+            out["verdict"] = verdict
+            out["within_noise_count"] = sum(
+                1 for v in verdict.values() if v["within_noise"]
+            )
+            out["metric_count"] = len(verdict)
     return out
 
 
@@ -274,23 +371,25 @@ def tail_stats(runs: dict, lo: int, hi: int) -> dict:
 
 def print_report(summary: dict):
     noise = summary.get("seed_noise", {})
-    print(f"{'metric':42s} {'ab_mean':>8s} {'noise_mean':>10s}  verdict")
-    for k, v in sorted(summary["metrics"].items()):
-        n = noise.get(k)
-        if n is None:
-            print(f"{k:42s} {v['mean_rel_diff']*100:7.2f}%")
-            continue
-        ok = summary["verdict"][k]["within_noise"]
-        print(
-            f"{k:42s} {v['mean_rel_diff']*100:7.2f}% "
-            f"{n['mean_rel_diff']*100:9.2f}%  "
-            f"{'within noise' if ok else 'EXCEEDS noise'}"
-        )
-    if "within_noise_count" in summary:
-        print(
-            f"{summary['within_noise_count']}/{summary['metric_count']} "
-            "metrics within seed-to-seed noise"
-        )
+    baseline = summary.get("baseline", "default")
+    for arm, metrics in summary.get("comparisons", {}).items():
+        verdict = summary.get("verdicts", {}).get(arm, {})
+        print(f"\n== {baseline} vs {arm} ==")
+        print(f"{'metric':42s} {'ab_mean':>8s} {'noise_mean':>10s}  verdict")
+        for k, v in sorted(metrics.items()):
+            n = noise.get(k)
+            if n is None or k not in verdict:
+                print(f"{k:42s} {v['mean_rel_diff']*100:7.2f}%")
+                continue
+            ok = verdict[k]["within_noise"]
+            print(
+                f"{k:42s} {v['mean_rel_diff']*100:7.2f}% "
+                f"{n['mean_rel_diff']*100:9.2f}%  "
+                f"{'within noise' if ok else 'EXCEEDS noise'}"
+            )
+        if verdict:
+            ok_n = sum(1 for v in verdict.values() if v["within_noise"])
+            print(f"{ok_n}/{len(verdict)} metrics within seed-to-seed noise")
 
 
 if __name__ == "__main__":
