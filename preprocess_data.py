@@ -35,6 +35,16 @@ def main():
             "avg_speed_3d", "heading", "ids",
         ],
     )
+    ap.add_argument(
+        "--exact-offsets", action="store_true",
+        help="un-truncated scaled offsets (deviation; reference int-truncates"
+        " via its integer skeleton yaml — PARITY.md)",
+    )
+    ap.add_argument(
+        "--part-centered-speed", action="store_true",
+        help="true part-root speed centering (deviation; reference's"
+        " centering is a no-op — PARITY.md)",
+    )
     args = ap.parse_args()
 
     from scrubvae_tpu.data.pipeline import build_frame_store, materialize
@@ -71,6 +81,8 @@ def main():
             stride=args.stride,
             speed_threshold=args.speed_threshold,
             norm_params=raw_norm,
+            exact_offsets=args.exact_offsets,
+            part_centered_speed=args.part_centered_speed,
         )
         data = materialize(
             store, skeleton.tree, tuple(args.keys), args.direction_process

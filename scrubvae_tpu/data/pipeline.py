@@ -71,6 +71,10 @@ class FrameStore:
     norm_params: Dict[str, Dict[str, Array]]
     x6d: Optional[Array] = None  # (T, J, 6) cont6d of local_quat
     tpose: Optional[Array] = None  # (T, J, 3) zero-root FK per frame
+    # intended-semantics part-root centering for the windowed speed
+    # features (deviation gate data.part_centered_speed; default is the
+    # reference's no-op centering — see ops.kinematics.speed_parts)
+    part_centered_speed: bool = False
 
     @property
     def n_windows(self) -> int:
@@ -86,14 +90,25 @@ def build_frame_store(
     speed_threshold: Optional[float] = 2.25,
     norm_params: Optional[dict] = None,
     precompute: bool = True,
+    exact_offsets: bool = False,
+    part_centered_speed: bool = False,
 ) -> FrameStore:
     """Per-frame preprocessing + window index build.
 
     Mirrors the front half of reference preprocess_save_data
     (dataset.py:313-454) with IK at frame granularity. ``precompute``
     additionally stores per-frame cont6d + zero-root FK (see FrameStore).
+
+    ``exact_offsets``/``part_centered_speed`` are documented-deviation
+    gates (PARITY.md): by default the reference's integer-truncated
+    scaled offsets (when the skeleton yaml is integer-valued, see
+    Skeleton.int_offsets) and its no-op speed part-centering are
+    replicated exactly; the gates opt into the intended semantics.
     """
     tree = skeleton.tree
+    # reference get_segment_len keeps the yaml OFFSET dtype through the
+    # scaled assignment — integer yaml => values truncated toward zero
+    truncate_offsets = skeleton.int_offsets and not exact_offsets
     starts = window_starts(ids, stride, window)
     if speed_threshold is not None:
         keep = speed_outlier_mask(pose, starts, window, speed_threshold)
@@ -105,6 +120,8 @@ def build_frame_store(
     def per_frame(p):
         local_q = kin.inv_kin(p, tree, forward_indices=[1, 0])
         offs = kin.segment_lengths(p, tree)
+        if truncate_offsets:
+            offs = jnp.trunc(offs)
         yaw = kin.frame_yaw(p, 0, 1)
         extra = {}
         if precompute:
@@ -144,6 +161,7 @@ def build_frame_store(
         norm_params=norm_params,
         x6d=extra.get("x6d"),
         tpose=extra.get("tpose"),
+        part_centered_speed=part_centered_speed,
     )
 
 
@@ -178,7 +196,7 @@ def assemble_windows(
         out["heading"] = kin.angle2D(yaw_mid[:, None])
 
     if "avg_speed_3d" in data_keys:
-        spd = kin.speed_parts(pose_w, SPEED_PARTS)
+        spd = kin.speed_parts(pose_w, SPEED_PARTS, store.part_centered_speed)
         avg3 = jnp.concatenate(
             [spd[:, :2], spd[:, 2:].mean(axis=-1, keepdims=True)], axis=-1
         )

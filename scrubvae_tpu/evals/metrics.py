@@ -203,11 +203,37 @@ def _probe_fns(out_dim: int, num_epochs: int, lr: float):
     from scrubvae_tpu.models.scrubbers import MLP
 
     model = MLP(out_dim)
-    tx = optax.adamw(lr)
+    # torch AdamW's default weight_decay is 0.01 (the reference uses the
+    # default, metrics.py:312); optax's is 1e-4 — pin the reference value.
+    tx = optax.adamw(lr, weight_decay=0.01)
+
+    def torch_linear_params(key, fan_in, fan_out):
+        """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) on the
+        weight and U(+-1/sqrt(fan_in)) on the bias — both reduce to
+        U(+-1/sqrt(fan_in)). The flax default (lecun_normal, zero bias)
+        measurably under-converges this 200-epoch probe vs the reference
+        (~0.08 R^2 on the differential task, TestMLPProbeParity)."""
+        kk, kb = jax.random.split(key)
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return {
+            "kernel": jax.random.uniform(
+                kk, (fan_in, fan_out), minval=-bound, maxval=bound
+            ),
+            "bias": jax.random.uniform(
+                kb, (fan_out,), minval=-bound, maxval=bound
+            ),
+        }
 
     @jax.jit
     def fit(z, y, seed):
-        params = model.init(jax.random.PRNGKey(seed), z[:1])
+        d = z.shape[-1]
+        keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+        params = {
+            "params": {
+                f"Dense_{i}": torch_linear_params(keys[i], fi, fo)
+                for i, (fi, fo) in enumerate([(d, d), (d, d), (d, out_dim)])
+            }
+        }
         opt_state = tx.init(params)
 
         def body(carry, _):

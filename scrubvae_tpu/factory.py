@@ -302,7 +302,11 @@ def mouse_data(
             2.25 if data_config.get("remove_speed_outliers") is not False else None
         )
         store = build_frame_store(
-            pose, ids, skeleton, window=window, stride=stride, speed_threshold=thresh
+            pose, ids, skeleton, window=window, stride=stride, speed_threshold=thresh,
+            # documented-deviation gates (PARITY.md): default replicates the
+            # reference's integer-truncated offsets + no-op speed centering
+            exact_offsets=bool(data_config.get("exact_offsets")),
+            part_centered_speed=bool(data_config.get("part_centered_speed")),
         )
         per_window = {"ids": np.asarray(store.mid_ids)}
         discrete = _discrete_classes_for(

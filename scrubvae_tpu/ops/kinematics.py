@@ -281,24 +281,38 @@ def segment_lengths(pose: Array, tree: KinematicTree) -> Array:
     return offsets * seg * mask + offsets * (1.0 - mask)
 
 
-def speed_parts(pose: Array, parts: Sequence[Sequence[int]]) -> Array:
+def speed_parts(
+    pose: Array,
+    parts: Sequence[Sequence[int]],
+    true_part_centering: bool = False,
+) -> Array:
     """Average root / per-part relative speeds over a window.
 
     pose: (N, W, J, 3). Returns (N, len(parts)+1); column 0 is the mean root
     displacement per frame, column i+1 the mean relative keypoint speed of
-    ``parts[i][1:]`` centered on ``parts[i][0]`` (reference
-    ``get_speed_parts``, dataset.py:134-163, including its part[0]==0 special
-    case that centers on the root only).
+    ``parts[i][1:]`` (reference ``get_speed_parts``, dataset.py:134-163).
+
+    Default is reference-EXACT semantics: the reference's part-centering
+    line (dataset.py:149-151) indexes ``centered_pose[:, p:p+1, :]`` — the
+    WINDOW axis, not the joint axis — which broadcasts a per-window
+    constant that ``np.diff`` over frames cancels, so its "relative to
+    part root" speeds are in fact all root-centered. The hardcoded
+    avg_speed_3d normalization stats (get/data.py:58-67) were fit on those
+    values, so parity requires replicating them (found by the end-to-end
+    composition differential, tests/test_preprocess_composition.py).
+    ``true_part_centering=True`` opts into the intended semantics
+    (subtract the part-root JOINT before differencing) — a documented
+    deviation (PARITY.md), config gate ``data.part_centered_speed``.
     """
     root_d = jnp.diff(pose[..., 0, :], n=1, axis=-2)
     root_spd = jnp.sqrt(jnp.sum(root_d**2, axis=-1)).mean(axis=-1)
     cols = [root_spd]
     centered = pose - pose[..., 0:1, :]
     for part in parts:
-        if part[0] == 0:
-            pose_part = centered
-        else:
+        if true_part_centering and part[0] != 0:
             pose_part = centered - centered[..., part[0] : part[0] + 1, :]
+        else:
+            pose_part = centered
         rel = jnp.diff(pose_part[..., list(part[1:]), :], n=1, axis=-3)
         rel = jnp.sqrt(jnp.sum(rel**2, axis=-1))
         cols.append(rel.mean(axis=(-1, -2)))

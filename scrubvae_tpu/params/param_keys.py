@@ -13,6 +13,11 @@ PARAM_KEYS = dict(
         "direction_process",
         "encoder_direction_process",  # aligned encoder view (TPU addition)
         "host_stream",  # host-RAM frame store + slab prefetch (TPU addition)
+        # documented-deviation gates (PARITY.md): opt-in intended semantics
+        # for two reference preprocessing quirks found by the composition
+        # differential (tests/test_preprocess_composition.py)
+        "exact_offsets",  # un-truncated scaled offsets (ref: int-truncated)
+        "part_centered_speed",  # true part-root speed centering (ref: no-op)
         "normalize",
         "remove_speed_outliers",
         "stride",

@@ -30,6 +30,7 @@ __all__ = [
     "make_train_epoch",
     "make_eval_step",
     "make_eval_epoch",
+    "make_grad_step",
     "feature_slices",
 ]
 
@@ -210,6 +211,75 @@ def make_train_step(
     if raw:
         return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_grad_step(
+    model,
+    tree,
+    *,
+    disentangle_config: dict,
+    loss_keys: Tuple[str, ...],
+    disentangle_keys: Tuple[str, ...] = (),
+    conditional_keys: Tuple[str, ...] = (),
+    feat_slices: Optional[Dict[str, np.ndarray]] = None,
+    adv_bundle: Optional[dict] = None,
+    static_loss_scale: Optional[Dict[str, float]] = None,
+    batch_fn: Optional[Callable[[Array], Dict[str, Array]]] = None,
+    **_unused,
+) -> Callable:
+    """Pre-optimizer view of the fused step: the (psum'd-under-SPMD)
+    gradients, the loss terms, and the detached mu the streaming scrubbers
+    consume — computed through the EXACT loss path of make_train_step but
+    with no optimizer, no state mutation.
+
+    Exists so the SPMD contract can be asserted at the production learning
+    rate (VERDICT r4 W3/#4): layout invariance of the raw gradients and of
+    the scrubber update() inputs proves the mesh semantics without
+    fighting Adam's sign-flip chaos on reduction-order noise."""
+
+    def grad_step(state: TrainState, batch, loss_scale: Dict[str, Array]):
+        _, r_sample, r_drop, r_adv, _ = jax.random.split(state.rng, 5)
+        data = batch_fn(batch) if batch_fn is not None else batch
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = False
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables,
+                data,
+                rng=r_sample,
+                train=True,
+                mutable=mutable,
+                rngs={"dropout": r_drop},
+            )
+            if mutable:
+                out, _updates = out
+            bl, _ = compute_batch_loss(
+                model,
+                data,
+                out,
+                loss_scale,
+                disentangle_config,
+                tree,
+                state.scrub_state,
+                adv_bundle=adv_bundle,
+                adv_states=state.adv_states,
+                mi_state=state.mi_state,
+                rng=r_adv,
+                disentangle_keys=disentangle_keys,
+                conditional_keys=conditional_keys,
+                feat_slices=feat_slices,
+                static_loss_scale=static_loss_scale,
+            )
+            return bl["total"], (bl, out)
+
+        grads, (bl, out) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return grads, bl, jax.lax.stop_gradient(out["mu"])
+
+    return jax.jit(grad_step)
 
 
 def make_train_epoch(model, tx, tree, *, donate: bool = True, **kwargs):

@@ -204,6 +204,8 @@ class Trainer:
             donate=self.train_cfg.get("donate") is not False,
             **common,
         )
+        self._tree = tree
+        self._step_kwargs = step_kwargs
         self.train_step = make_train_step(self.model, self.tx, tree, **step_kwargs)
         # Device-resident batch loop (one dispatch per epoch); opt out with
         # train.scan_epoch: false to step batch-by-batch from the host.
@@ -248,6 +250,16 @@ class Trainer:
         self.np_rng = np.random.default_rng(self.seed)
 
     # -- helpers ----------------------------------------------------------
+
+    def make_grad_fn(self):
+        """Jitted pre-optimizer view of the fused step (raw psum'd
+        gradients + loss terms + detached mu) through the exact
+        make_train_step loss path — used by the SPMD-contract tests to
+        assert mesh-layout invariance at the production learning rate
+        without Adam's sign-flip chaos (VERDICT r4 W3/#4)."""
+        from scrubvae_tpu.train.step import make_grad_step
+
+        return make_grad_step(self.model, self._tree, **self._step_kwargs)
 
     def _batch_fn(self, dataset):
         if dataset is None:

@@ -259,18 +259,35 @@ class TestKinematics:
             np.float32
         )
         parts = [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10, 11], [5, 12, 13, 14, 15, 16, 17]]
-        ours = np.asarray(kin.speed_parts(jnp.asarray(pose), parts))
-        # Naive per reference get_speed_parts (dataset.py:134-163)
         root_spd = np.diff(pose[..., 0, :], axis=-2) ** 2
         root_spd = np.sqrt(root_spd.sum(-1)).mean(-1)
+        centered = pose - pose[..., 0:1, :]
+
+        # Default = reference-EXACT semantics: the reference's part
+        # centering indexes the WINDOW axis (dataset.py:149-151), which
+        # np.diff cancels — every part's relative speed is root-centered
+        # (pinned against the real reference in
+        # test_preprocess_composition.py; PARITY.md deviation entry).
+        ours = np.asarray(kin.speed_parts(jnp.asarray(pose), parts))
         naive = np.zeros((7, 4))
         naive[:, 0] = root_spd
-        centered = pose - pose[..., 0:1, :]
+        for i, part in enumerate(parts):
+            rel = (np.diff(centered[..., part[1:], :], axis=-3) ** 2).sum(-1)
+            naive[:, i + 1] = np.sqrt(rel).mean(axis=(-1, -2))
+        np.testing.assert_allclose(ours, naive, atol=1e-5)
+
+        # Opt-in intended semantics: true part-root (JOINT axis) centering
+        ours_dev = np.asarray(
+            kin.speed_parts(jnp.asarray(pose), parts, true_part_centering=True)
+        )
+        naive_dev = np.zeros((7, 4))
+        naive_dev[:, 0] = root_spd
         for i, part in enumerate(parts):
             pp = centered if part[0] == 0 else centered - centered[:, :, part[0] : part[0] + 1, :]
             rel = (np.diff(pp[..., part[1:], :], axis=-3) ** 2).sum(-1)
-            naive[:, i + 1] = np.sqrt(rel).mean(axis=(-1, -2))
-        np.testing.assert_allclose(ours, naive, atol=1e-5)
+            naive_dev[:, i + 1] = np.sqrt(rel).mean(axis=(-1, -2))
+        np.testing.assert_allclose(ours_dev, naive_dev, atol=1e-5)
+        assert np.abs(ours_dev[:, 2:] - ours[:, 2:]).max() > 1e-3
 
     def test_frame_yaw_and_angle2d(self):
         pose = _rand_pose(jax.random.PRNGKey(25))[:, :, :]

@@ -79,8 +79,12 @@ def naive_reference_pipeline(pose, ids, window=21, stride=3):
 class TestPipelineParity:
     def test_on_device_assembly_matches_naive_materialization(self):
         pose, ids = synthetic_pose_stream(SKEL, n_frames=150, n_ids=1, seed=3)
+        # exact_offsets: the naive mirror computes UNtruncated scaled
+        # offsets; the reference-exact truncation default is pinned against
+        # the reference itself in test_preprocess_composition.py
         store = build_frame_store(
-            pose, ids, SKEL, window=21, stride=3, speed_threshold=None
+            pose, ids, SKEL, window=21, stride=3, speed_threshold=None,
+            exact_offsets=True,
         )
         ours = materialize(
             store, SKEL.tree, ("x6d", "root", "offsets", "heading"), "midfwd"
@@ -95,8 +99,13 @@ class TestPipelineParity:
 
     def test_target_pose_fk_consistency(self):
         pose, ids = synthetic_pose_stream(SKEL, n_frames=120, n_ids=1, seed=4)
+        # exact_offsets: the bone-length assertion below compares against
+        # raw-pose segment lengths, which only the untruncated deviation
+        # path preserves (the reference-default truncation shortens bones
+        # by up to 1 unit — PARITY.md)
         store = build_frame_store(
-            pose, ids, SKEL, window=21, stride=5, speed_threshold=None
+            pose, ids, SKEL, window=21, stride=5, speed_threshold=None,
+            exact_offsets=True,
         )
         out = materialize(
             store, SKEL.tree, ("x6d", "offsets", "target_pose"), "midfwd"

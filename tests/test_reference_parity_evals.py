@@ -214,6 +214,62 @@ class TestRandCVParity:
         assert len(full[0][0]) * 10 // 2 < len(ours[0][0])
 
 
+class TestMLPProbeParity:
+    """MLP decodability probe differential (VERDICT r4 missing #3).
+
+    The reference trains a torch MLP (in->in->in->out ReLU) 200 epochs of
+    full-batch AdamW(1e-3) with sum-MSE on cuda (eval/metrics.py:301-329);
+    ours is the same architecture/optimizer/loss/epochs in JAX with a
+    scanned fit (evals/metrics.py:189-253). Inits are different RNG
+    streams (torch default vs jax.random), so per-fold equality is
+    stochastic — the comparison is a tolerance band on identical KFold
+    folds (seed 100) over a high-SNR synthetic task where both fits
+    converge: per-fold R^2 within 0.1, means within 0.05."""
+
+    def _task(self, n=400, d=16, out=3, seed=3):
+        rng = np.random.default_rng(seed)
+        z = rng.normal(size=(n, d)).astype(np.float32)
+        w = rng.normal(size=(d, out)).astype(np.float32) / np.sqrt(d)
+        y = np.tanh(z @ w) * 2.0 + rng.normal(size=(n, out)).astype(
+            np.float32
+        ) * 0.05
+        return z, y.astype(np.float32)
+
+    def test_mlp_probe_tolerance_band(self, ref, monkeypatch):
+        z, y = self._task()
+
+        # reference train_MLP is hardcoded cuda (metrics.py:308-311):
+        # neutralize the device moves so it runs on this CPU-only torch
+        monkeypatch.setattr(
+            torch.nn.Module, "cuda", lambda self, *a, **k: self
+        )
+        monkeypatch.setattr(
+            torch.Tensor, "cuda", lambda self, *a, **k: self
+        )
+
+        class _TorchShim:
+            def __getattr__(self, k):
+                return getattr(torch, k)
+
+            @staticmethod
+            def tensor(*a, **kw):
+                kw.pop("device", None)
+                return torch.tensor(*a, **kw)
+
+        monkeypatch.setattr(ref.met, "torch", _TorchShim())
+
+        torch.manual_seed(0)
+        theirs = np.asarray(
+            ref.met.mlp_rand_cv(torch.from_numpy(z), y, 1, 5), dtype=float
+        )
+        ours = np.asarray(our_metrics.mlp_rand_cv(z, y, 1, 5), dtype=float)
+        assert len(ours) == len(theirs) == 5
+        # both probes fit the high-SNR task
+        assert ours.mean() > 0.5 and theirs.mean() > 0.5, (ours, theirs)
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=0.1)
+        assert abs(ours.mean() - theirs.mean()) <= 0.05, (ours, theirs)
+
+
 class TestAuxMetricParity:
     def test_mmd(self, ref):
         rng = np.random.default_rng(3)

@@ -389,6 +389,64 @@ class TestFullStackEquivalence:
             )
 
 
+    def test_pre_optimizer_quantities_at_production_lr(self, tmp_path):
+        """SPMD contract at the REAL learning rate (VERDICT r4 W3/#4):
+        the lr=1e-8 multi-step test above proves state threading without
+        Adam chaos; this one proves layout invariance at lr=1e-4 by
+        comparing quantities computed BEFORE the optimizer can amplify
+        reduction-order noise:
+
+        - the raw (psum'd under SPMD) gradients at the identical init,
+        - the loss terms,
+        - the detached mu that feeds every streaming scrubber update,
+        - the streaming scrubber moments after ONE real step (their
+          update consumes pre-update-params mu, so they are optimizer-
+          independent at step 1),
+        - the adversarial discriminator states after one step (inner
+          AdamW at its real lr 0.1 — l2 bound, see the docstring above).
+
+        mi_state is compared only loosely: its refresh re-encodes under
+        the POST-step params (reference trainer.py:184-199), so one real
+        Adam step's +-2lr sign-flip noise reaches it; the l2 bound still
+        catches layout bugs (wrong psum feeds it ~40% different data)."""
+        LR = 1e-4
+        results = {}
+        for name, spec in (
+            ("single", None),
+            ("dp8", {"data": 8}),
+            ("tp", {"data": 4, "model": 2}),
+        ):
+            tr, _ = make_full_trainer(tmp_path / name, spec, lr=LR)
+            idx = tr._device_idx(jnp.arange(16))
+            loss_scale = tr.loss_scale_for_epoch(1)
+            grads, bl, mu = tr.make_grad_fn()(tr.state, idx, loss_scale)
+            st1, _ = tr.train_step(tr.state, idx, loss_scale)
+            results[name] = (
+                jax.device_get(grads),
+                {k: float(v) for k, v in bl.items()},
+                np.asarray(mu),
+                jax.device_get(st1.scrub_state),
+                jax.device_get(st1.adv_states),
+                jax.device_get(st1.mi_state),
+            )
+        g0, bl0, mu0, scrub0, adv0, mi0 = results["single"]
+        for name in ("dp8", "tp"):
+            g, bl, mu, scrub, adv, mi = results[name]
+            for k in bl0:
+                assert abs(bl0[k] - bl[k]) <= 1e-3 * max(1.0, abs(bl0[k])), (
+                    name, k, bl0[k], bl[k],
+                )
+            _tree_allclose(g0, g, 1e-4, 1e-6, where=f"{name}:grads")
+            np.testing.assert_allclose(
+                mu0, mu, rtol=0, atol=1e-4, err_msg=f"{name}:mu"
+            )
+            _tree_allclose(
+                scrub0, scrub, 1e-4, 1e-6, where=f"{name}:scrub_state@lr"
+            )
+            _tree_l2close(adv0, adv, 5e-2, where=f"{name}:adv_states@lr")
+            _tree_l2close(mi0, mi, 1e-2, where=f"{name}:mi_state@lr")
+
+
 class TestMeshCheckpoint:
     def test_tp_checkpoint_roundtrip(self, tmp_path):
         """Save from an ACTIVE {data:4, model:2} mesh (fc_sigma kernel

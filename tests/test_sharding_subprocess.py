@@ -24,25 +24,53 @@ import pytest
 HERE = pathlib.Path(__file__).resolve().parent
 
 
-@pytest.mark.slow
-def test_sharding_suite_under_8_virtual_devices():
+def _spmd_env(n_devices: int) -> dict:
     env = dict(os.environ)
     # The container sitecustomize force-registers the axon TPU PJRT plugin
     # keyed off this var; drop it so a wedged tunnel can't hang a CPU-only
     # subprocess (see tests/conftest.py).
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["SCRUBVAE_TEST_DEVICES"] = "8"
+    env["SCRUBVAE_TEST_DEVICES"] = str(n_devices)
     env["JAX_PLATFORMS"] = "cpu"
     # These tests check SPMD *semantics* (replica invariance), not codegen
-    # quality: skip XLA:CPU's expensive backend passes to keep the default
-    # tier's wall time down on a 1-core host.
+    # quality: skip XLA:CPU's expensive backend passes to keep wall time
+    # down on a 1-core host.
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
     ).strip()
+    return env
+
+
+def test_two_device_smoke_default_gate():
+    """DEFAULT-tier multi-device coverage (VERDICT r4 W4/#5): a cheap
+    2-virtual-device MALS-equivalence step runs on every plain
+    ``pytest -q`` invocation, so the SPMD contract is exercised on every
+    builder iteration — not only when someone opts into the 8-device
+    tier or the driver dryrun runs."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         str(HERE / "test_sharding2.py")],
+        env=_spmd_env(2),
+        cwd=str(HERE.parent),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"2-device smoke failed\n--- stdout ---\n{proc.stdout[-4000:]}"
+        f"\n--- stderr ---\n{proc.stderr[-4000:]}"
+    )
+    m = re.search(r"(\d+) passed", proc.stdout)
+    assert m and int(m.group(1)) >= 1, proc.stdout[-2000:]
+    assert "skipped" not in proc.stdout, proc.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_sharding_suite_under_8_virtual_devices():
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
          str(HERE / "test_sharding.py")],
-        env=env,
+        env=_spmd_env(8),
         cwd=str(HERE.parent),
         capture_output=True,
         text=True,
@@ -56,5 +84,5 @@ def test_sharding_suite_under_8_virtual_devices():
     )
     # the tests must actually have run (not self-skipped)
     m = re.search(r"(\d+) passed", proc.stdout)
-    assert m and int(m.group(1)) >= 6, proc.stdout[-2000:]
+    assert m and int(m.group(1)) >= 7, proc.stdout[-2000:]
     assert "skipped" not in proc.stdout, proc.stdout[-2000:]

@@ -65,6 +65,8 @@ ARMS = {
     # full-covariance CholeskyL head (model/residual.py:39-68).
     "sigma_rank256": {"param_dtype": "bf16", "fused_optimizer": True,
                       "model": {"sigma_head_rank": 256}},
+    "sigma_rank256_seed1": {"param_dtype": "bf16", "fused_optimizer": True,
+                            "seed": 1, "model": {"sigma_head_rank": 256}},
     "diag_cov": {"param_dtype": "bf16", "fused_optimizer": True,
                  "model": {"diag": True}},
 }
@@ -107,33 +109,81 @@ def build_config(args, arm: str):
     return cfg
 
 
+def _arm_complete(run_dir: pathlib.Path, epochs: int) -> bool:
+    try:
+        rows = list(csv.DictReader(open(run_dir / "metrics.csv")))
+        return len(rows) >= epochs and int(rows[-1]["epoch"]) >= epochs
+    except (OSError, KeyError, ValueError):
+        return False
+
+
 def run_arm(args, arm: str) -> pathlib.Path:
     import yaml
 
     out_root = pathlib.Path(args.out)
     run_dir = out_root / "quality_ab" / arm
+    if args.reuse and _arm_complete(run_dir, args.epochs):
+        # staged invocations: later stages add arms without re-training
+        # the ones already finished (the summary is only written at the
+        # END of a run, so cumulative re-invocation is the recovery path
+        # when a stage dies mid-set)
+        print(f"{arm}: complete run found, reusing", flush=True)
+        return run_dir
     run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "model_config.yaml").write_text(
-        yaml.safe_dump(build_config(args, arm))
-    )
+
+    def latest_checkpoint_epoch() -> int:
+        """Largest epoch with a FULL train-state checkpoint (optimizer +
+        scrubber moments, saved every 20 epochs) — the only resume point
+        that continues the trajectory rather than restarting Adam."""
+        best = 0
+        for f in (run_dir / "checkpoints").glob("epoch_*.msgpack"):
+            try:
+                best = max(best, int(f.stem.split("_")[1]))
+            except ValueError:
+                pass
+        return best
+
     t0 = time.time()
-    proc = subprocess.run(
-        [
-            sys.executable,
-            str(HERE / "train_model.py"),
-            "-o", str(out_root),
-            "-p", "quality_ab",
-            "-n", arm,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=args.timeout,
-    )
-    wall = time.time() - t0
-    if proc.returncode != 0:
+    # Arms run for hours on a tunnel that wedges sporadically (CLAUDE.md):
+    # on failure, resume from the latest full-state checkpoint instead of
+    # losing the arm (the r4 ref_storage arm needed this done by hand).
+    for attempt in range(args.max_attempts):
+        cfg = build_config(args, arm)
+        start = latest_checkpoint_epoch()
+        if start:
+            cfg["model"]["load_model"] = str(run_dir)
+            cfg["model"]["start_epoch"] = start
+            print(f"{arm}: resuming from epoch {start}", flush=True)
+        (run_dir / "model_config.yaml").write_text(yaml.safe_dump(cfg))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(HERE / "train_model.py"),
+                "-o", str(out_root),
+                "-p", "quality_ab",
+                "-n", arm,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=args.timeout,
+        )
+        if proc.returncode == 0:
+            break
         print(proc.stdout[-2000:])
         print(proc.stderr[-4000:])
-        raise RuntimeError(f"{arm} failed (rc {proc.returncode})")
+        if attempt + 1 >= args.max_attempts:
+            raise RuntimeError(
+                f"{arm} failed after {args.max_attempts} attempts "
+                f"(rc {proc.returncode})"
+            )
+        made_progress = latest_checkpoint_epoch() > start
+        print(
+            f"{arm}: attempt {attempt + 1} failed (rc {proc.returncode}), "
+            f"{'progress made, ' if made_progress else ''}retrying in 60s",
+            flush=True,
+        )
+        time.sleep(60)
+    wall = time.time() - t0
     print(f"{arm}: {args.epochs} epochs in {wall:.0f}s", flush=True)
     return run_dir
 
@@ -202,9 +252,16 @@ def main():
     ap.add_argument("--artifacts", default=str(HERE / "artifacts" / "quality_ab"))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + 6 epochs (CPU harness check)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip arms whose run dir already holds a complete"
+                    " metrics.csv (staged / resumed invocations)")
+    ap.add_argument("--max-attempts", type=int, default=4,
+                    help="per-arm launch attempts; failures resume from the"
+                    " latest full-state checkpoint")
     ap.add_argument("--arms", nargs="*",
                     default=[a for a in ARMS
-                             if a not in ("sigma_rank256", "diag_cov")])
+                             if a not in ("sigma_rank256",
+                                          "sigma_rank256_seed1", "diag_cov")])
     args = ap.parse_args()
     unknown = [a for a in args.arms if a not in ARMS]
     if unknown:
