@@ -317,6 +317,45 @@ def _tree_l2close(a, b, rel, where=""):
         )
 
 
+def _grads_close(a, b, rel=2e-2, where=""):
+    """Per-leaf l2-relative gradient comparison with a zero-leaf skip.
+
+    Elementwise bounds are the wrong metric for cross-layout gradient
+    noise (measured on this config at XLA:CPU opt level 0):
+
+    - conv biases feeding straight into BatchNorm have mathematically
+      ZERO gradients — both layouts produce pure noise (~1e-6 of the
+      global gradient scale), so any relative bound fails; such leaves
+      are skipped against a global-scale floor (the policy of
+      test_gradient_parity._compare);
+    - PReLU alphas are whole-tensor sum reductions with cancellation —
+      cross-layout reduction order moves them ~1e-2 relative;
+    - BatchNorm's backward divides by the batch sigma, amplifying the
+      cross-replica stat reduction-order noise to ~2e-3 on coupled
+      leaves.
+
+    A real layout bug (per-shard gradients/stats) shifts whole leaves by
+    ~0.875 (the missing 7/8 of the batch) — 40x this bound."""
+    la, _ = jax.tree.flatten_with_path(a)
+    lb, _ = jax.tree.flatten_with_path(b)
+    assert len(la) == len(lb), (where, len(la), len(lb))
+    gscale = max(
+        float(np.linalg.norm(np.asarray(v, np.float64).ravel()))
+        for _, v in la
+    )
+    for (pa, va), (_, vb) in zip(la, lb):
+        va = np.asarray(va, np.float64)
+        vb = np.asarray(vb, np.float64)
+        n = float(np.linalg.norm(va.ravel()))
+        if max(n, float(np.linalg.norm(vb.ravel()))) < 1e-5 * gscale:
+            continue  # mathematically-zero leaf: both sides noise
+        d = float(np.linalg.norm((va - vb).ravel()))
+        assert d <= rel * n + 1e-6 * gscale, (
+            f"{where}{jax.tree_util.keystr(pa)}: ||diff||={d:.3e} > "
+            f"{rel} * ||a||={n:.3e} + floor (gscale {gscale:.3e})"
+        )
+
+
 def _run_steps(tr, n_steps=3):
     state = tr.state
     loss_scale = tr.loss_scale_for_epoch(1)
@@ -436,7 +475,7 @@ class TestFullStackEquivalence:
                 assert abs(bl0[k] - bl[k]) <= 1e-3 * max(1.0, abs(bl0[k])), (
                     name, k, bl0[k], bl[k],
                 )
-            _tree_allclose(g0, g, 1e-4, 1e-6, where=f"{name}:grads")
+            _grads_close(g0, g, rel=2e-2, where=f"{name}:grads")
             np.testing.assert_allclose(
                 mu0, mu, rtol=0, atol=1e-4, err_msg=f"{name}:mu"
             )
