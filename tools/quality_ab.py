@@ -110,9 +110,15 @@ def build_config(args, arm: str):
 
 
 def _arm_complete(run_dir: pathlib.Path, epochs: int) -> bool:
+    """A metrics.csv one row short of num_epochs still counts: the final
+    epoch's row is logged AFTER its checkpoint save (trainer.fit), so a
+    crash between the two (e.g. ENOSPC on the epoch-300 full-state write,
+    seen in the r5 stage-2 run) leaves epochs-1 faithful rows — the
+    overlay compares common epochs, so the arm is usable as-is and
+    retraining 299 epochs to recover one row is never worth it."""
     try:
         rows = list(csv.DictReader(open(run_dir / "metrics.csv")))
-        return len(rows) >= epochs and int(rows[-1]["epoch"]) >= epochs
+        return len(rows) >= epochs - 1 and int(rows[-1]["epoch"]) >= epochs - 1
     except (OSError, KeyError, ValueError):
         return False
 
@@ -185,6 +191,15 @@ def run_arm(args, arm: str) -> pathlib.Path:
         time.sleep(60)
     wall = time.time() - t0
     print(f"{arm}: {args.epochs} epochs in {wall:.0f}s", flush=True)
+    if not args.keep_run_state:
+        # the harness consumes only metrics.csv; the per-arm weights +
+        # full-state checkpoints are ~10-19 GB each at the flagship point
+        # and filled the disk in the r5 stage-2 run (ENOSPC at the final
+        # checkpoint write)
+        import shutil
+
+        for sub in ("weights", "checkpoints", "latents"):
+            shutil.rmtree(run_dir / sub, ignore_errors=True)
     return run_dir
 
 
@@ -258,6 +273,10 @@ def main():
     ap.add_argument("--max-attempts", type=int, default=4,
                     help="per-arm launch attempts; failures resume from the"
                     " latest full-state checkpoint")
+    ap.add_argument("--keep-run-state", action="store_true",
+                    help="keep each arm's weights/checkpoints after it"
+                    " completes (default: delete — ~10-19 GB per flagship"
+                    " arm, and the harness only reads metrics.csv)")
     ap.add_argument("--arms", nargs="*",
                     default=[a for a in ARMS
                              if a not in ("sigma_rank256",
